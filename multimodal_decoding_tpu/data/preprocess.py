@@ -1,0 +1,72 @@
+"""Standardizers with NaN-column handling (parity with data.py:506-537).
+
+Betas standardisation drops NaN columns (medial-wall vertices / out-of-brain
+voxels) based on the FIRST train row, then applies a train-fit StandardScaler
+to train/test/imagery.  Latent standardisation is a plain train-fit scaler.
+All of it is expressible as fused jnp ops, but since it runs once per subject
+on host-resident arrays we keep a numpy implementation (bit-parity with
+sklearn) and a jnp twin for on-device pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _fit_scaler(train: np.ndarray):
+    mean = train.mean(axis=0)
+    std = train.std(axis=0)  # ddof=0, sklearn semantics
+    scale = np.where(std == 0.0, 1.0, std)
+    return mean, scale
+
+
+def standardize_latents(train_latents, test_latents, imagery_latents=None):
+    """Train-fit scaler applied to all splits (data.py:506-515)."""
+    mean, scale = _fit_scaler(np.asarray(train_latents, dtype=np.float64))
+    out = [
+        ((np.asarray(a, dtype=np.float64) - mean) / scale).astype(np.float32)
+        for a in (train_latents, test_latents)
+    ]
+    if imagery_latents is not None:
+        out.append(
+            ((np.asarray(imagery_latents, dtype=np.float64) - mean) / scale).astype(np.float32)
+        )
+        return tuple(out)
+    return tuple(out)
+
+
+def nan_column_locations(train_betas: np.ndarray) -> np.ndarray:
+    """Boolean mask of NaN columns, judged from the first train sample (data.py:520)."""
+    return np.isnan(np.asarray(train_betas)[0])
+
+
+def standardize_fmri_betas(train_betas, test_betas, imagery_betas=None, return_nan_locations=False):
+    """Drop NaN columns (first-row judged) then train-fit scale (data.py:518-537)."""
+    train_betas = np.asarray(train_betas)
+    nan_locations = nan_column_locations(train_betas)
+    keep = ~nan_locations
+
+    train = train_betas[:, keep].astype(np.float64)
+    test = np.asarray(test_betas)[:, keep].astype(np.float64)
+    mean, scale = _fit_scaler(train)
+
+    outs = [((train - mean) / scale).astype(np.float32), ((test - mean) / scale).astype(np.float32)]
+    if imagery_betas is not None:
+        imag = np.asarray(imagery_betas)[:, keep].astype(np.float64)
+        outs.append(((imag - mean) / scale).astype(np.float32))
+
+    if return_nan_locations:
+        return (*outs, nan_locations)
+    return tuple(outs)
+
+
+def apply_mask(mask: dict | None, betas_list: list, hemis=("left", "right")) -> list:
+    """Restrict surface betas to mask==1 vertices (data.py:564-574).
+
+    ``mask`` is a {hemi: [V] array} dict (the reference loads it from pickle);
+    concatenated across hemispheres like the reference.
+    """
+    if mask is None:
+        return betas_list
+    mask_flat = np.concatenate([mask[h] for h in hemis])
+    return [betas[:, mask_flat == 1].copy() for betas in betas_list]

@@ -1,0 +1,201 @@
+"""Closed-form ridge regression with vectorized alpha sweep & CV.
+
+TPU-native replacement for the reference's sklearn stack
+(``Ridge(fit_intercept=False)`` inside ``GridSearchCV`` —
+/root/reference/analyses/decoding/ridge_regression_decoding.py:111-130):
+
+* **Dual (kernel) form** for wide problems (n_samples << n_features, the
+  whole-brain decode: ~9k stimuli x up to ~327k voxels): one gram matrix
+  ``K = X X^T`` (a single huge MXU matmul, shardable over the feature axis
+  with a psum), then every (fold, alpha) fit is a small [n, n] Cholesky
+  solve.  Predictions never materialise the [V, D] weight matrix:
+  ``pred(Xq) = (Xq X^T) dual_coef``.
+
+* **Primal form** for tall problems (searchlight patches: 750 features):
+  per-vertex [K, K] gram + Cholesky, batched over vertices with vmap.
+
+Both forms are algebraically identical to sklearn's ridge (its 'auto' solver
+picks the same primal/dual split).  CV reproduces sklearn's
+``KFold(shuffle=False)`` consecutive-block folds and GridSearchCV's
+first-argmax tie-breaking so alpha selection is bit-identical.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_decoding_tpu.ops.metrics import pairwise_accuracy
+
+
+def kfold_indices(n_samples: int, n_splits: int):
+    """Consecutive-block K-fold split, sklearn ``KFold(shuffle=False)`` parity.
+
+    First ``n_samples % n_splits`` folds have size ``n//k + 1``; returns a
+    list of (train_idx, val_idx) numpy arrays.
+    """
+    indices = np.arange(n_samples)
+    fold_sizes = np.full(n_splits, n_samples // n_splits, dtype=int)
+    fold_sizes[: n_samples % n_splits] += 1
+    folds = []
+    current = 0
+    for size in fold_sizes:
+        val = indices[current : current + size]
+        train = np.concatenate([indices[:current], indices[current + size :]])
+        folds.append((train, val))
+        current += size
+    return folds
+
+
+# ---------------------------------------------------------------------------
+# Primal form: small feature dim (searchlight patches)
+# ---------------------------------------------------------------------------
+
+
+def ridge_fit_primal(X: jnp.ndarray, Y: jnp.ndarray, alpha) -> jnp.ndarray:
+    """W = (X^T X + alpha I)^-1 X^T Y.  X [..., n, f], Y [..., n, d] -> W [..., f, d]."""
+    G = jnp.matmul(
+        jnp.swapaxes(X, -1, -2), X, preferred_element_type=jnp.float32
+    )
+    XtY = jnp.matmul(jnp.swapaxes(X, -1, -2), Y, preferred_element_type=jnp.float32)
+    eye = jnp.eye(G.shape[-1], dtype=G.dtype)
+    A = G + alpha * eye
+    cho = jax.scipy.linalg.cho_factor(A, lower=True)
+    return jax.scipy.linalg.cho_solve(cho, XtY)
+
+
+def ridge_predict(X: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(X, W, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Dual form: wide problems (whole-brain)
+# ---------------------------------------------------------------------------
+
+
+def gram_matrix(X: np.ndarray, block_cols: int = 16384, out_sharding=None) -> jax.Array:
+    """K = X X^T streamed over feature blocks (host -> device).
+
+    The full X (e.g. [9k, 327k] f32 ~ 12 GB) need not fit on device: each
+    block is transferred, multiplied on the MXU at full f32 precision, and
+    accumulated.  Replaces the reference's in-RAM sklearn gram
+    (ridge_regression_decoding.py:123 via sklearn's _solve_cholesky_kernel).
+    """
+    n, f = X.shape
+
+    @jax.jit
+    def acc(k, xc):
+        return k + jnp.matmul(
+            xc, xc.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+
+    k = jnp.zeros((n, n), dtype=jnp.float32)
+    for start in range(0, f, block_cols):
+        xc = jnp.asarray(X[:, start : start + block_cols], dtype=jnp.float32)
+        k = acc(k, xc)
+    return k
+
+
+def dual_ridge_fit(K: jnp.ndarray, Y: jnp.ndarray, alpha) -> jnp.ndarray:
+    """dual_coef = (K + alpha I)^-1 Y;  K [n, n], Y [n, d]."""
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    cho = jax.scipy.linalg.cho_factor(K + alpha * eye, lower=True)
+    return jax.scipy.linalg.cho_solve(cho, Y)
+
+
+def dual_ridge_predict(K_query: jnp.ndarray, dual_coef: jnp.ndarray) -> jnp.ndarray:
+    """pred = (Xq X^T) dual_coef;  K_query [m, n]."""
+    return jnp.matmul(K_query, dual_coef, preferred_element_type=jnp.float32)
+
+
+def cross_matrix(X_query: np.ndarray, X_train: np.ndarray, block_cols: int = 16384) -> jax.Array:
+    """K_query = Xq X^T streamed over feature blocks."""
+    m, f = X_query.shape
+
+    @jax.jit
+    def acc(k, xq, xt):
+        return k + jnp.matmul(
+            xq, xt.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+
+    k = jnp.zeros((m, X_train.shape[0]), dtype=jnp.float32)
+    for start in range(0, f, block_cols):
+        xq = jnp.asarray(X_query[:, start : start + block_cols], dtype=jnp.float32)
+        xt = jnp.asarray(X_train[:, start : start + block_cols], dtype=jnp.float32)
+        k = acc(k, xq, xt)
+    return k
+
+
+# ---------------------------------------------------------------------------
+# CV alpha sweep (GridSearchCV parity)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("scorer",))
+def _cv_fold_scores(K_tt, K_vt, Y_tr, Y_va, alphas, scorer=None):
+    """Scores for all alphas on one fold.  Returns [n_alphas]."""
+
+    def one_alpha(alpha):
+        dual = dual_ridge_fit(K_tt, Y_tr, alpha)
+        preds = dual_ridge_predict(K_vt, dual)
+        if scorer is None:
+            return pairwise_accuracy(Y_va, preds)
+        return scorer(Y_va, preds)
+
+    return jax.lax.map(one_alpha, alphas)
+
+
+def ridge_cv_dual(
+    K: jax.Array,
+    Y: jax.Array,
+    alphas: Sequence[float],
+    n_splits: int = 5,
+    scorer: Callable | None = None,
+):
+    """GridSearchCV(Ridge, scoring=pairwise_accuracy, cv=KFold) on the gram.
+
+    Returns (best_alpha_idx, mean_scores [n_alphas], full-train dual_coef for
+    the best alpha).  Reproduces sklearn semantics exactly: unshuffled
+    consecutive folds (ridge_regression_decoding.py:115 ``cv=5``), unweighted
+    mean of fold scores, first-argmax tie-break, refit on the full train set.
+    """
+    n = K.shape[0]
+    alphas_arr = jnp.asarray(alphas, dtype=jnp.float32)
+    fold_scores = []
+    for train_idx, val_idx in kfold_indices(n, n_splits):
+        K_tt = K[np.ix_(train_idx, train_idx)]
+        K_vt = K[np.ix_(val_idx, train_idx)]
+        fold_scores.append(
+            _cv_fold_scores(K_tt, K_vt, Y[train_idx], Y[val_idx], alphas_arr, scorer=scorer)
+        )
+    mean_scores = jnp.mean(jnp.stack(fold_scores), axis=0)
+    best_idx = int(jnp.argmax(mean_scores))  # first max, like ndarray.argmax
+    dual_coef = dual_ridge_fit(K, Y, float(alphas[best_idx]))
+    return best_idx, np.asarray(mean_scores), dual_coef
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-alpha spectral sweep (for dense alpha grids on one gram)
+# ---------------------------------------------------------------------------
+
+
+def dual_ridge_fit_all_alphas_eigh(K: jnp.ndarray, Y: jnp.ndarray, alphas: jnp.ndarray):
+    """All-alphas dual coefficients via one eigendecomposition.
+
+    eigh(K) = U diag(lam) U^T; dual(alpha) = U diag(1/(lam+alpha)) U^T Y.
+    One O(n^3) factorisation amortised over the whole alpha grid — the
+    TPU-native equivalent of GridSearchCV's embarrassingly parallel refits.
+    Returns [n_alphas, n, d].
+    """
+    lam, U = jnp.linalg.eigh(K)
+    UtY = jnp.matmul(U.T, Y, preferred_element_type=jnp.float32)
+
+    def per_alpha(alpha):
+        scaled = UtY / (lam + alpha)[:, None]
+        return jnp.matmul(U, scaled, preferred_element_type=jnp.float32)
+
+    return jax.vmap(per_alpha)(alphas)

@@ -1,0 +1,106 @@
+"""Parity tests: closed-form ridge vs sklearn Ridge / GridSearchCV."""
+
+import numpy as np
+from sklearn.linear_model import Ridge
+from sklearn.metrics import make_scorer
+from sklearn.model_selection import GridSearchCV, KFold
+
+from multimodal_decoding_tpu.ops import ridge as R
+from multimodal_decoding_tpu.ops.metrics import pairwise_accuracy
+
+
+def _ref_pairwise_acc(y_true, y_pred):
+    from scipy.spatial.distance import cdist
+
+    dist = cdist(y_pred, y_true, metric="cosine")
+    diag = dist.diagonal().reshape(-1, 1)
+    return (diag < dist).sum() / (dist.size - diag.size)
+
+
+def test_kfold_matches_sklearn():
+    for n in [23, 100, 47]:
+        ours = R.kfold_indices(n, 5)
+        ref = list(KFold(n_splits=5, shuffle=False).split(np.zeros((n, 1))))
+        for (otr, ova), (rtr, rva) in zip(ours, ref):
+            np.testing.assert_array_equal(otr, rtr)
+            np.testing.assert_array_equal(ova, rva)
+
+
+def test_primal_ridge_matches_sklearn(rng):
+    X = rng.randn(60, 20).astype(np.float32)
+    Y = rng.randn(60, 5).astype(np.float32)
+    Xq = rng.randn(15, 20).astype(np.float32)
+    for alpha in [1.0, 100.0]:
+        W = np.asarray(R.ridge_fit_primal(X, Y, alpha))
+        ref_model = Ridge(alpha=alpha, fit_intercept=False).fit(X, Y)
+        # coefficients agree to f32-arithmetic precision...
+        np.testing.assert_allclose(W, ref_model.coef_.T, atol=5e-3)
+        # ...and predictions tightly (the quantity that feeds the accuracy metric)
+        preds = np.asarray(R.ridge_predict(Xq, W))
+        np.testing.assert_allclose(preds, ref_model.predict(Xq), atol=2e-3)
+
+
+def test_dual_ridge_matches_sklearn_wide(rng):
+    # wide problem: n_samples < n_features (whole-brain regime)
+    X = rng.randn(40, 200).astype(np.float32)
+    Y = rng.randn(40, 6).astype(np.float32)
+    Xq = rng.randn(10, 200).astype(np.float32)
+    alpha = 1e3
+
+    K = np.asarray(R.gram_matrix(X, block_cols=64))
+    dual = R.dual_ridge_fit(K, Y, alpha)
+    Kq = np.asarray(R.cross_matrix(Xq, X, block_cols=64))
+    preds = np.asarray(R.dual_ridge_predict(Kq, dual))
+
+    ref_preds = Ridge(alpha=alpha, fit_intercept=False).fit(X, Y).predict(Xq)
+    np.testing.assert_allclose(preds, ref_preds, atol=2e-4)
+
+
+def test_eigh_alpha_sweep_matches_cholesky(rng):
+    X = rng.randn(30, 100).astype(np.float32)
+    Y = rng.randn(30, 4).astype(np.float32)
+    K = np.asarray(R.gram_matrix(X, block_cols=32))
+    alphas = np.array([1e2, 1e4, 1e6], dtype=np.float32)
+    duals_eigh = np.asarray(R.dual_ridge_fit_all_alphas_eigh(K, Y, alphas))
+    for i, a in enumerate(alphas):
+        dual_chol = np.asarray(R.dual_ridge_fit(K, Y, float(a)))
+        np.testing.assert_allclose(duals_eigh[i], dual_chol, atol=1e-4)
+
+
+def test_cv_alpha_selection_matches_gridsearchcv(rng):
+    """Exact GridSearchCV semantic parity: same folds, same scorer, same argmax."""
+    n, f, d = 75, 120, 8
+    # structured data so there is a real optimum
+    W_true = rng.randn(f, d)
+    X = rng.randn(n, f).astype(np.float32)
+    Y = (X @ W_true + 3.0 * rng.randn(n, d)).astype(np.float32)
+    alphas = [1e0, 1e1, 1e2, 1e3, 1e4]
+
+    clf = GridSearchCV(
+        estimator=Ridge(fit_intercept=False),
+        param_grid=dict(alpha=alphas),
+        scoring=make_scorer(_ref_pairwise_acc, greater_is_better=True),
+        cv=5,
+        refit=True,
+    )
+    clf.fit(X, Y)
+
+    K = np.asarray(R.gram_matrix(X, block_cols=64))
+    best_idx, mean_scores, dual = R.ridge_cv_dual(K, Y, alphas, n_splits=5)
+
+    np.testing.assert_allclose(
+        mean_scores, clf.cv_results_["mean_test_score"], atol=1e-4
+    )
+    assert alphas[best_idx] == clf.best_params_["alpha"]
+
+    # refit predictions match sklearn's best_estimator_
+    Xq = rng.randn(12, f).astype(np.float32)
+    Kq = np.asarray(R.cross_matrix(Xq, X, block_cols=64))
+    preds = np.asarray(R.dual_ridge_predict(Kq, dual))
+    ref_preds = clf.best_estimator_.predict(Xq)
+    np.testing.assert_allclose(preds, ref_preds, atol=2e-3)
+
+    # and the accuracy computed from them is within the BASELINE tolerance
+    acc_ours = float(pairwise_accuracy(Y[:12], preds))
+    acc_ref = _ref_pairwise_acc(Y[:12], ref_preds)
+    assert abs(acc_ours - acc_ref) < 1e-4
