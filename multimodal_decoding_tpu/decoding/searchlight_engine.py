@@ -1,0 +1,426 @@
+"""Batched surface-searchlight engine: vmapped closed-form ridge + fused scoring.
+
+TPU-native replacement for the reference's per-vertex sklearn loop
+(/root/reference/analyses/decoding/searchlight/searchlight.py:38-149):
+
+* Per-vertex "fit Ridge on X[:, neighbors]" becomes, for a block of B
+  vertices, one gather ``X[:, idx]`` -> [N, B, K], one batched gram einsum
+  [B, K, K] (MXU), one batched Cholesky solve, and batched prediction
+  einsums.  K is static (n_neighbors mode) or padded+masked (radius mode), so
+  every shape is compile-time constant.
+
+* The ~10-metric score family per vertex becomes batched row-normalisations +
+  GEMMs over [B, n_test, D] prediction tensors.
+
+* Null-distribution scoring is reformulated: a permutation of the latent rows
+  only permutes *columns* of the per-vertex cosine-distance matrix, so each
+  shuffle's accuracy is a gather of "how many columns beat the permuted
+  diagonal" from a per-vertex rank-count tensor computed ONCE.  Cost per
+  shuffle drops from O(n^2 cdist) (reference searchlight.py:61-79) to O(n)
+  gathers.
+
+Precision: inputs are float32 by default with HIGHEST-precision MXU passes
+(reference uses float16 inputs + float64 sklearn solves, searchlight.py:247);
+``fast_math=True`` switches storage to bfloat16 single-pass for ~6x faster
+grams when bit-parity is not required.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_decoding_tpu.ops import metrics as M
+from multimodal_decoding_tpu.ops.ridge import kfold_indices
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Fit + predict for one vertex block
+# ---------------------------------------------------------------------------
+
+
+def gather_patches(X: jnp.ndarray, idx: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """X [N, V], idx [B, K] -> patches [N, B, K] (masked cols zeroed).
+
+    Zeroing a column is exactly equivalent to excluding that neighbour from
+    the ridge fit (its gram row/col vanish; regulariser pins its weight to 0),
+    which turns the reference's ragged radius-mode neighbourhoods
+    (searchlight.py:164-171) into static shapes.
+    """
+    patches = X[:, idx]
+    if mask is not None:
+        patches = patches * mask[None].astype(patches.dtype)
+    return patches
+
+
+def fit_block(X_train_g: jnp.ndarray, Y_train: jnp.ndarray, alpha, precision=HIGHEST):
+    """Batched closed-form ridge over a vertex block.
+
+    X_train_g [N, B, K], Y_train [N, D] -> W [B, K, D].
+    Replaces estimator.fit per vertex (searchlight.py:56).
+    """
+    G = jnp.einsum(
+        "nbk,nbl->bkl", X_train_g, X_train_g, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    XtY = jnp.einsum(
+        "nbk,nd->bkd", X_train_g, Y_train, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    K = G.shape[-1]
+    A = G + jnp.asarray(alpha, G.dtype) * jnp.eye(K, dtype=G.dtype)
+    cho, lower = jax.scipy.linalg.cho_factor(A, lower=True)
+    return jax.scipy.linalg.cho_solve((cho, lower), XtY)
+
+
+def predict_block(X_query_g: jnp.ndarray, W: jnp.ndarray, precision=HIGHEST) -> jnp.ndarray:
+    """X_query_g [M, B, K], W [B, K, D] -> preds [B, M, D]."""
+    return jnp.einsum(
+        "mbk,bkd->bmd", X_query_g, W, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-vertex CV alpha sweep (BASELINE.json searchlight config: "alpha CV")
+# ---------------------------------------------------------------------------
+
+
+def fit_block_cv(
+    X_train_g: jnp.ndarray,
+    Y_train: jnp.ndarray,
+    alphas: jnp.ndarray,
+    n_splits: int = 5,
+    precision=HIGHEST,
+):
+    """Per-vertex alpha selection via K-fold CV (sklearn-split parity).
+
+    Returns (W [B, K, D] refit at each vertex's best alpha, best_alpha [B],
+    cv_scores [B, n_alphas]).  Fold grams are computed as differences from
+    the full gram, so the 5-fold sweep costs ~2 gram passes instead of 5.
+    """
+    n = X_train_g.shape[0]
+    Kdim = X_train_g.shape[-1]
+    folds = kfold_indices(n, n_splits)
+
+    G_full = jnp.einsum(
+        "nbk,nbl->bkl", X_train_g, X_train_g, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    XtY_full = jnp.einsum(
+        "nbk,nd->bkd", X_train_g, Y_train, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    eye = jnp.eye(Kdim, dtype=G_full.dtype)
+
+    def fold_scores(val_idx):
+        Xv = X_train_g[val_idx]  # [nv, B, K]
+        Yv = Y_train[val_idx]
+        G_val = jnp.einsum(
+            "nbk,nbl->bkl", Xv, Xv, preferred_element_type=jnp.float32, precision=precision
+        )
+        XtY_val = jnp.einsum(
+            "nbk,nd->bkd", Xv, Yv, preferred_element_type=jnp.float32, precision=precision
+        )
+        G_tr = G_full - G_val
+        XtY_tr = XtY_full - XtY_val
+
+        def one_alpha(alpha):
+            cho = jax.scipy.linalg.cho_factor(G_tr + alpha * eye, lower=True)
+            W = jax.scipy.linalg.cho_solve(cho, XtY_tr)  # [B, K, D]
+            preds = jnp.einsum(
+                "nbk,bkd->bnd", Xv, W, preferred_element_type=jnp.float32, precision=precision
+            )
+            return M.pairwise_accuracy(Yv, preds)  # [B]
+
+        return jax.lax.map(one_alpha, alphas)  # [A, B]
+
+    scores = jnp.mean(
+        jnp.stack([fold_scores(np.asarray(v)) for _, v in folds]), axis=0
+    )  # [A, B]
+    # First-argmax with a small tolerance: accuracy ties that are exact in
+    # sklearn's float64 land within f32 noise here; eps makes the tie-break
+    # deterministic and sklearn-parity ("ties -> first alpha").
+    mx = jnp.max(scores, axis=0)
+    best = jnp.argmax(scores >= mx - 1e-6, axis=0)  # [B]
+    best_alpha = alphas[best]
+
+    A_mat = G_full + best_alpha[:, None, None] * eye
+    cho, lower = jax.scipy.linalg.cho_factor(A_mat, lower=True)
+    W = jax.scipy.linalg.cho_solve((cho, lower), XtY_full)
+    return W, best_alpha, scores.T
+
+
+# ---------------------------------------------------------------------------
+# Scoring
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TestLayout:
+    """Static index layout of the test set for jit-time closure.
+
+    ``caption_sel``/``image_sel``: positions in the prediction rows (X order);
+    the latent rows follow the same stim_types array in the reference call
+    (searchlight.py:69,82 passes TEST_STIM_TYPES for both).
+    """
+
+    caption_sel: tuple
+    image_sel: tuple
+
+    @staticmethod
+    def from_stim_types(stim_types, caption="caption", image="image") -> "TestLayout":
+        st = np.asarray(stim_types)
+        return TestLayout(
+            caption_sel=tuple(np.where(st == caption)[0].tolist()),
+            image_sel=tuple(np.where(st == image)[0].tolist()),
+        )
+
+
+def _acc(dist):
+    return M.pairwise_acc_from_dist(dist)
+
+
+def score_block(
+    preds_test: jnp.ndarray,
+    preds_imag: jnp.ndarray,
+    Y_test: jnp.ndarray,
+    Y_imag: jnp.ndarray,
+    layout: TestLayout,
+    comp_cross_decoding_scores: bool = True,
+) -> dict:
+    """Full main score family for a vertex block -> {metric: [B]}.
+
+    Mirrors train_and_test's main scoring (searchlight.py:81-88):
+    calc_all_pairwise_accuracy_scores(standardize_predictions=True) plus the
+    *_no_std imagery variants.
+    """
+    cap = np.asarray(layout.caption_sel)
+    img = np.asarray(layout.image_sel)
+
+    P_cap = M.standardize(preds_test[:, cap, :])
+    P_img = M.standardize(preds_test[:, img, :])
+    L_cap = Y_test[cap]
+    L_img = Y_test[img]
+
+    out = {
+        M.ACC_CAPTIONS: _acc(M.cosine_distances(P_cap, L_cap)),
+        M.ACC_IMAGES: _acc(M.cosine_distances(P_img, L_img)),
+    }
+    if comp_cross_decoding_scores:
+        out[M.ACC_CROSS_CAPTIONS_TO_IMAGES] = _acc(M.cosine_distances(P_cap, L_img))
+        out[M.ACC_CROSS_IMAGES_TO_CAPTIONS] = _acc(M.cosine_distances(P_img, L_cap))
+
+    P_im_std = M.standardize(preds_imag)
+    L_whole = jnp.concatenate((Y_imag, Y_test), axis=0)
+    out[M.ACC_IMAGERY] = _acc(M.cosine_distances(P_im_std, Y_imag))
+    out[M.ACC_IMAGERY_WHOLE_TEST] = _acc(M.cosine_distances(P_im_std, L_whole))
+    out[M.ACC_IMAGERY + "_no_std"] = _acc(M.cosine_distances(preds_imag, Y_imag))
+    out[M.ACC_IMAGERY_WHOLE_TEST + "_no_std"] = _acc(M.cosine_distances(preds_imag, L_whole))
+    return out
+
+
+def _rank_counts(dist: jnp.ndarray) -> jnp.ndarray:
+    """C[..., i, c] = #{c': dist[..., i, c] < dist[..., i, c']}.
+
+    The permutation-invariant rank structure of a distance matrix: any
+    column-permuted accuracy is mean of C at the permuted diagonal.
+    """
+    return jnp.sum(dist[..., :, None] < dist[..., None, :], axis=-1)
+
+
+def null_score_block(
+    preds_test: jnp.ndarray,
+    preds_imag: jnp.ndarray,
+    Y_test: jnp.ndarray,
+    Y_imag: jnp.ndarray,
+    layout: TestLayout,
+    shuffles: jnp.ndarray,
+    imagery_derangements: jnp.ndarray,
+) -> dict:
+    """Null-distribution score family for every shuffle -> {metric: [B, P]}.
+
+    ``shuffles`` [P, n_test] permutes test latent rows within modality
+    (data.py:554-561); ``imagery_derangements`` [B, P] selects one of the two
+    3-element derangements per (vertex, shuffle), the batched analogue of the
+    reference's per-vertex np.random.choice (searchlight.py:65).
+
+    Semantics per shuffle mirror train_and_test (searchlight.py:61-79):
+    calc_all_pairwise_accuracy_scores with standardize_predictions=True and
+    comp_cross_decoding_scores=False, plus *_no_std imagery variants.
+    """
+    cap = np.asarray(layout.caption_sel)
+    img = np.asarray(layout.image_sel)
+    n_cap, n_img = len(cap), len(img)
+    n_imag = preds_imag.shape[-2]
+
+    derangements = jnp.asarray(
+        [[1, 2, 0], [2, 0, 1]], dtype=jnp.int32
+    )  # DERANGEMENTS_THREE_DIMS (searchlight.py:35)
+    der_idx = derangements[imagery_derangements]  # [B, P, 3]
+
+    def gather_perm_diag(C, perm):
+        """C [B, n, m], perm [B, P, n] or [P, n] -> C[b, i, perm[.., i]] [B, P, n]."""
+        if perm.ndim == 2:
+            perm = jnp.broadcast_to(perm[None], (C.shape[0],) + perm.shape)
+        b_idx = jnp.arange(C.shape[0])[:, None, None]
+        i_idx = jnp.arange(C.shape[1])[None, None, :]
+        return C[b_idx, i_idx, perm]
+
+    # Shuffle restricted to each modality's latent rows: the latent rows for
+    # modality m are Y_test[sel]; within-modality closure of the shuffles
+    # (data.py:554-561) guarantees sigma[sel] stays inside sel.
+    def modality_score(P_std, L, sel):
+        dist = M.cosine_distances(P_std, L)  # [B, n, n]
+        C = _rank_counts(dist)
+        sel_arr = jnp.asarray(sel)
+        inv = jnp.zeros((Y_test.shape[0],), dtype=jnp.int32).at[sel_arr].set(
+            jnp.arange(len(sel), dtype=jnp.int32)
+        )
+        local = inv[shuffles[:, sel_arr]]  # [P, n] local permutation
+        gathered = gather_perm_diag(C, local)  # [B, P, n]
+        n = len(sel)
+        return jnp.sum(gathered, axis=-1) / (n * n - n)  # [B, P]
+
+    P_cap = M.standardize(preds_test[:, cap, :])
+    P_img = M.standardize(preds_test[:, img, :])
+    out = {
+        M.ACC_CAPTIONS: modality_score(P_cap, Y_test[cap], cap),
+        M.ACC_IMAGES: modality_score(P_img, Y_test[img], img),
+    }
+
+    L_whole = jnp.concatenate((Y_imag, Y_test), axis=0)
+
+    for suffix, P_im in (("", M.standardize(preds_imag)), ("_no_std", preds_imag)):
+        d_im = M.cosine_distances(P_im, Y_imag)
+        C_im = _rank_counts(d_im)  # [B, 3, 3]
+        g = gather_perm_diag(C_im, der_idx)  # [B, P, 3]
+        out[M.ACC_IMAGERY + suffix] = jnp.sum(g, axis=-1) / (n_imag * n_imag - n_imag)
+
+        d_iw = M.cosine_distances(P_im, L_whole)  # [B, 3, 3+n_test]
+        C_iw = _rank_counts(d_iw)
+        g = gather_perm_diag(C_iw, der_idx)  # diagonal lives in the imagery cols
+        m = L_whole.shape[0]
+        out[M.ACC_IMAGERY_WHOLE_TEST + suffix] = jnp.sum(g, axis=-1) / (n_imag * m - n_imag)
+
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Jitted block step factories
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test"),
+)
+def searchlight_block(
+    X_all,
+    Y_train,
+    Y_test,
+    Y_imag,
+    idx,
+    mask,
+    alpha,
+    *,
+    layout: TestLayout,
+    n_train: int,
+    n_test: int,
+    comp_cross: bool = True,
+    precision=HIGHEST,
+):
+    """One fused block step: gather -> fit -> predict -> score.
+
+    X_all [N_all, V] = concat(train, test, imagery) rows (searchlight.py:234);
+    idx [B, K]; mask [B, K] or None.  Returns {metric: [B]}.
+    """
+    patches = gather_patches(X_all, idx, mask)  # [N_all, B, K]
+    Xtr = patches[:n_train]
+    Xte = patches[n_train : n_train + n_test]
+    Xim = patches[n_train + n_test :]
+    W = fit_block(Xtr, Y_train, alpha, precision=precision)
+    preds_test = predict_block(Xte, W, precision=precision)
+    preds_imag = predict_block(Xim, W, precision=precision)
+    return score_block(
+        preds_test, preds_imag, Y_test, Y_imag, layout, comp_cross_decoding_scores=comp_cross
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test"),
+)
+def searchlight_block_with_null(
+    X_all,
+    Y_train,
+    Y_test,
+    Y_imag,
+    idx,
+    mask,
+    alpha,
+    shuffles,
+    imagery_derangements,
+    *,
+    layout: TestLayout,
+    n_train: int,
+    n_test: int,
+    comp_cross: bool = True,
+    precision=HIGHEST,
+):
+    """Block step that also emits the per-shuffle null score family."""
+    patches = gather_patches(X_all, idx, mask)
+    Xtr = patches[:n_train]
+    Xte = patches[n_train : n_train + n_test]
+    Xim = patches[n_train + n_test :]
+    W = fit_block(Xtr, Y_train, alpha, precision=precision)
+    preds_test = predict_block(Xte, W, precision=precision)
+    preds_imag = predict_block(Xim, W, precision=precision)
+    main = score_block(
+        preds_test, preds_imag, Y_test, Y_imag, layout, comp_cross_decoding_scores=comp_cross
+    )
+    null = null_score_block(
+        preds_test, preds_imag, Y_test, Y_imag, layout, shuffles, imagery_derangements
+    )
+    return main, null
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits"),
+)
+def searchlight_block_cv(
+    X_all,
+    Y_train,
+    Y_test,
+    Y_imag,
+    idx,
+    mask,
+    alphas,
+    *,
+    layout: TestLayout,
+    n_train: int,
+    n_test: int,
+    n_splits: int = 5,
+    comp_cross: bool = True,
+    precision=HIGHEST,
+):
+    """Block step with per-vertex CV alpha selection (BASELINE searchlight config)."""
+    patches = gather_patches(X_all, idx, mask)
+    Xtr = patches[:n_train]
+    Xte = patches[n_train : n_train + n_test]
+    Xim = patches[n_train + n_test :]
+    W, best_alpha, cv_scores = fit_block_cv(Xtr, Y_train, alphas, n_splits, precision=precision)
+    preds_test = predict_block(Xte, W, precision=precision)
+    preds_imag = predict_block(Xim, W, precision=precision)
+    scores = score_block(
+        preds_test, preds_imag, Y_test, Y_imag, layout, comp_cross_decoding_scores=comp_cross
+    )
+    scores = dict(scores)
+    scores["best_alpha"] = best_alpha
+    return scores

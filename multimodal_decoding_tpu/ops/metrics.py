@@ -145,7 +145,7 @@ def cosine_distances(preds: jnp.ndarray, latents: jnp.ndarray) -> jnp.ndarray:
     """
     p = preds / jnp.linalg.norm(preds, axis=-1, keepdims=True)
     l = latents / jnp.linalg.norm(latents, axis=-1, keepdims=True)
-    sim = jnp.matmul(p, jnp.swapaxes(l, -1, -2), preferred_element_type=jnp.float32)
+    sim = jnp.matmul(p, jnp.swapaxes(l, -1, -2), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     return 1.0 - sim
 
 

@@ -59,9 +59,9 @@ def kfold_indices(n_samples: int, n_splits: int):
 def ridge_fit_primal(X: jnp.ndarray, Y: jnp.ndarray, alpha) -> jnp.ndarray:
     """W = (X^T X + alpha I)^-1 X^T Y.  X [..., n, f], Y [..., n, d] -> W [..., f, d]."""
     G = jnp.matmul(
-        jnp.swapaxes(X, -1, -2), X, preferred_element_type=jnp.float32
+        jnp.swapaxes(X, -1, -2), X, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )
-    XtY = jnp.matmul(jnp.swapaxes(X, -1, -2), Y, preferred_element_type=jnp.float32)
+    XtY = jnp.matmul(jnp.swapaxes(X, -1, -2), Y, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     eye = jnp.eye(G.shape[-1], dtype=G.dtype)
     A = G + alpha * eye
     cho = jax.scipy.linalg.cho_factor(A, lower=True)
@@ -69,7 +69,7 @@ def ridge_fit_primal(X: jnp.ndarray, Y: jnp.ndarray, alpha) -> jnp.ndarray:
 
 
 def ridge_predict(X: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
-    return jnp.matmul(X, W, preferred_element_type=jnp.float32)
+    return jnp.matmul(X, W, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +109,7 @@ def dual_ridge_fit(K: jnp.ndarray, Y: jnp.ndarray, alpha) -> jnp.ndarray:
 
 def dual_ridge_predict(K_query: jnp.ndarray, dual_coef: jnp.ndarray) -> jnp.ndarray:
     """pred = (Xq X^T) dual_coef;  K_query [m, n]."""
-    return jnp.matmul(K_query, dual_coef, preferred_element_type=jnp.float32)
+    return jnp.matmul(K_query, dual_coef, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
 
 def cross_matrix(X_query: np.ndarray, X_train: np.ndarray, block_cols: int = 16384) -> jax.Array:
@@ -173,7 +173,9 @@ def ridge_cv_dual(
             _cv_fold_scores(K_tt, K_vt, Y[train_idx], Y[val_idx], alphas_arr, scorer=scorer)
         )
     mean_scores = jnp.mean(jnp.stack(fold_scores), axis=0)
-    best_idx = int(jnp.argmax(mean_scores))  # first max, like ndarray.argmax
+    # first-argmax with f32 tie tolerance (exact float64 ties in sklearn can
+    # split by f32 noise here; "ties -> first alpha" is the sklearn semantic)
+    best_idx = int(jnp.argmax(mean_scores >= jnp.max(mean_scores) - 1e-6))
     dual_coef = dual_ridge_fit(K, Y, float(alphas[best_idx]))
     return best_idx, np.asarray(mean_scores), dual_coef
 
@@ -192,10 +194,10 @@ def dual_ridge_fit_all_alphas_eigh(K: jnp.ndarray, Y: jnp.ndarray, alphas: jnp.n
     Returns [n_alphas, n, d].
     """
     lam, U = jnp.linalg.eigh(K)
-    UtY = jnp.matmul(U.T, Y, preferred_element_type=jnp.float32)
+    UtY = jnp.matmul(U.T, Y, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
     def per_alpha(alpha):
         scaled = UtY / (lam + alpha)[:, None]
-        return jnp.matmul(U, scaled, preferred_element_type=jnp.float32)
+        return jnp.matmul(U, scaled, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
     return jax.vmap(per_alpha)(alphas)

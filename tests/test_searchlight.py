@@ -1,0 +1,193 @@
+"""Searchlight engine parity vs a per-vertex sklearn reference loop.
+
+The reference loop reimplements the semantics of
+/root/reference/analyses/decoding/searchlight/searchlight.py:38-90 directly
+with sklearn/scipy (fit Ridge per vertex on X[:, neighbors], score with the
+pairwise-accuracy family).
+"""
+
+import numpy as np
+import pytest
+from scipy.spatial.distance import cdist
+from sklearn.linear_model import Ridge
+from sklearn.preprocessing import StandardScaler
+
+import jax
+
+from multimodal_decoding_tpu.decoding import searchlight_engine as E
+from multimodal_decoding_tpu.ops import metrics as M
+from multimodal_decoding_tpu.parallel.searchlight_runner import run_searchlight
+from multimodal_decoding_tpu.parallel.mesh import vertex_mesh
+
+
+def ref_acc(latents, preds, std_preds=False):
+    if std_preds:
+        preds = StandardScaler().fit_transform(preds)
+    dist = cdist(preds, latents, metric="cosine")
+    diag = dist.diagonal().reshape(-1, 1)
+    return (diag < dist).sum() / (dist.size - diag.size)
+
+
+def make_problem(rng, v=24, k=6, n_train=40, d=5, n_cap=5, n_img=5, n_imag=3):
+    X_train = rng.randn(n_train, v).astype(np.float32)
+    X_test = rng.randn(n_cap + n_img, v).astype(np.float32)
+    X_imag = rng.randn(n_imag, v).astype(np.float32)
+    Y_train = rng.randn(n_train, d).astype(np.float32)
+    Y_test = rng.randn(n_cap + n_img, d).astype(np.float32)
+    Y_imag = rng.randn(n_imag, d).astype(np.float32)
+    stim_types = np.array(["caption"] * n_cap + ["image"] * n_img)
+    adjacency = np.stack([rng.choice(v, size=k, replace=False) for _ in range(v)]).astype(np.int32)
+    return X_train, X_test, X_imag, Y_train, Y_test, Y_imag, stim_types, adjacency
+
+
+def ref_vertex_scores(Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, nbrs, alpha):
+    """train_and_test semantics per vertex (searchlight.py:38-90)."""
+    model = Ridge(alpha=alpha, fit_intercept=False)
+    model.fit(Xtr[:, nbrs], Ytr)
+    pt = model.predict(Xte[:, nbrs])
+    pi = model.predict(Xim[:, nbrs])
+    cap, img = stim_types == "caption", stim_types == "image"
+    out = {
+        M.ACC_CAPTIONS: ref_acc(Yte[cap], pt[cap], std_preds=True),
+        M.ACC_IMAGES: ref_acc(Yte[img], pt[img], std_preds=True),
+        M.ACC_CROSS_CAPTIONS_TO_IMAGES: ref_acc(Yte[img], pt[cap], std_preds=True),
+        M.ACC_CROSS_IMAGES_TO_CAPTIONS: ref_acc(Yte[cap], pt[img], std_preds=True),
+        M.ACC_IMAGERY: ref_acc(Yim, pi, std_preds=True),
+        M.ACC_IMAGERY_WHOLE_TEST: ref_acc(np.concatenate((Yim, Yte)), pi, std_preds=True),
+        M.ACC_IMAGERY + "_no_std": ref_acc(Yim, pi),
+        M.ACC_IMAGERY_WHOLE_TEST + "_no_std": ref_acc(np.concatenate((Yim, Yte)), pi),
+    }
+    return out, pt, pi
+
+
+def test_block_matches_sklearn_loop(rng):
+    Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, adj = make_problem(rng)
+    alpha = 10.0
+    layout = E.TestLayout.from_stim_types(stim_types)
+    X_all = np.concatenate([Xtr, Xte, Xim])
+
+    scores = E.searchlight_block(
+        X_all, Ytr, Yte, Yim, adj, None, alpha,
+        layout=layout, n_train=len(Xtr), n_test=len(Xte),
+    )
+    for v in range(len(adj)):
+        ref, _, _ = ref_vertex_scores(Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, adj[v], alpha)
+        for metric, val in ref.items():
+            assert abs(float(scores[metric][v]) - val) < 1e-4, (metric, v)
+
+
+def test_radius_mask_equals_column_drop(rng):
+    """Zero-masked neighbour columns == dropping those features from the fit."""
+    Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, adj = make_problem(rng, k=6)
+    layout = E.TestLayout.from_stim_types(stim_types)
+    X_all = np.concatenate([Xtr, Xte, Xim])
+    mask = np.ones_like(adj, dtype=bool)
+    mask[:, 4:] = False  # only first 4 neighbours are real
+
+    scores = E.searchlight_block(
+        X_all, Ytr, Yte, Yim, adj, mask, 5.0,
+        layout=layout, n_train=len(Xtr), n_test=len(Xte),
+    )
+    for v in [0, 7, 20]:
+        ref, _, _ = ref_vertex_scores(
+            Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, adj[v][:4], 5.0
+        )
+        for metric, val in ref.items():
+            assert abs(float(scores[metric][v]) - val) < 1e-4, (metric, v)
+
+
+def test_null_scores_match_recomputation(rng):
+    """Rank-count gather trick == brute-force shuffled re-scoring."""
+    Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, adj = make_problem(rng, v=8)
+    layout = E.TestLayout.from_stim_types(stim_types)
+    X_all = np.concatenate([Xtr, Xte, Xim])
+    n_cap = 5
+
+    # within-modality shuffles (reference data.py:554-561 semantics)
+    P = 4
+    shuffles = []
+    for p in range(P):
+        r = np.random.RandomState(100 + p)
+        shuffles.append(
+            np.concatenate([r.permutation(n_cap), n_cap + r.permutation(n_cap)])
+        )
+    shuffles = np.stack(shuffles).astype(np.int32)
+    ders = np.zeros((len(adj), P), dtype=np.int32)
+    ders[:, 1::2] = 1  # deterministic derangement choice for the test
+
+    main, null = E.searchlight_block_with_null(
+        X_all, Ytr, Yte, Yim, adj, None, 3.0, shuffles, ders,
+        layout=layout, n_train=len(Xtr), n_test=len(Xte),
+    )
+
+    DER = [[1, 2, 0], [2, 0, 1]]
+    cap, img = stim_types == "caption", stim_types == "image"
+    for v in range(len(adj)):
+        model = Ridge(alpha=3.0, fit_intercept=False).fit(Xtr[:, adj[v]], Ytr)
+        pt = model.predict(Xte[:, adj[v]])
+        pi = model.predict(Xim[:, adj[v]])
+        for p in range(P):
+            y_shuf = Yte[shuffles[p]]
+            y_im_shuf = Yim[DER[ders[v, p]]]
+            ref = {
+                M.ACC_CAPTIONS: ref_acc(y_shuf[cap], pt[cap], std_preds=True),
+                M.ACC_IMAGES: ref_acc(y_shuf[img], pt[img], std_preds=True),
+                M.ACC_IMAGERY: ref_acc(y_im_shuf, pi, std_preds=True),
+                M.ACC_IMAGERY_WHOLE_TEST: ref_acc(
+                    np.concatenate((y_im_shuf, y_shuf)), pi, std_preds=True
+                ),
+                M.ACC_IMAGERY + "_no_std": ref_acc(y_im_shuf, pi),
+                M.ACC_IMAGERY_WHOLE_TEST + "_no_std": ref_acc(
+                    np.concatenate((y_im_shuf, y_shuf)), pi
+                ),
+            }
+            for metric, val in ref.items():
+                assert abs(float(null[metric][v, p]) - val) < 1e-4, (metric, v, p)
+
+
+def test_cv_block_selects_per_vertex_alpha(rng):
+    from sklearn.model_selection import GridSearchCV
+    from sklearn.metrics import make_scorer
+
+    Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, adj = make_problem(rng, v=6, k=5, n_train=50)
+    # structured signal so CV has a real optimum
+    W = rng.randn(6, 5)
+    Ytr = (Xtr @ W + 0.7 * rng.randn(50, 5)).astype(np.float32)
+    layout = E.TestLayout.from_stim_types(stim_types)
+    X_all = np.concatenate([Xtr, Xte, Xim])
+    alphas = [1e-1, 1e1, 1e3]
+
+    scores = E.searchlight_block_cv(
+        X_all, Ytr, Yte, Yim, adj, None, np.asarray(alphas, dtype=np.float32),
+        layout=layout, n_train=len(Xtr), n_test=len(Xte),
+    )
+
+    def sk_acc(y_true, y_pred):
+        return ref_acc(y_true, y_pred)
+
+    for v in range(len(adj)):
+        clf = GridSearchCV(
+            Ridge(fit_intercept=False),
+            dict(alpha=alphas),
+            scoring=make_scorer(sk_acc, greater_is_better=True),
+            cv=5,
+        ).fit(Xtr[:, adj[v]].astype(np.float64), Ytr.astype(np.float64))
+        assert float(scores["best_alpha"][v]) == pytest.approx(clf.best_params_["alpha"])
+
+
+def test_runner_sharded_equals_single_device(rng):
+    Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, adj = make_problem(rng, v=37)  # odd V: padding
+    kwargs = dict(alpha=2.0, block_size=16, progress=False)
+
+    mesh8 = vertex_mesh(jax.devices())
+    mesh1 = vertex_mesh(jax.devices()[:1])
+    s8, aux8 = run_searchlight(
+        Xtr, Xte, Xim, Ytr, Yte, Yim, adj, stim_types, mesh=mesh8, **kwargs
+    )
+    s1, _ = run_searchlight(
+        Xtr, Xte, Xim, Ytr, Yte, Yim, adj, stim_types, mesh=mesh1, **kwargs
+    )
+    assert set(s8) == set(s1)
+    for metric in s8:
+        assert s8[metric].shape == (37,)
+        np.testing.assert_allclose(s8[metric], s1[metric], atol=1e-6)
