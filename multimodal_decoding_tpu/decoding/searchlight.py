@@ -1,0 +1,221 @@
+"""Surface searchlight pipeline driver (reference entry point #2).
+
+TPU-native rebuild of
+/root/reference/analyses/decoding/searchlight/searchlight.py:181-296: the
+joblib vertex fan-out becomes the device block engine
+(decoding/searchlight_engine.py via parallel/searchlight_runner.py); the
+results pickle keeps the reference schema ({nan_locations, adjacency,
+n_neighbors, distances, scores}) with scores stored BOTH as the canonical
+{metric: [V]} dict ("score_maps") and the reference's per-vertex dict list
+("scores") for downstream interchangeability.  Null distributions collapse
+from ~327k per-vertex pickles into one npz per (subject, mode, hemi).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from multimodal_decoding_tpu.config import (
+    DEFAULT_MODEL,
+    DEFAULT_RESOLUTION,
+    MODALITY_AGNOSTIC,
+    SEARCHLIGHT_OUT_DIR,
+    SELECT_DEFAULT,
+    SPLIT_IMAGERY,
+    SPLIT_TEST,
+    SPLIT_TRAIN,
+    SUBJECTS,
+    LatentFeatsConfig,
+)
+from multimodal_decoding_tpu.data.betas import get_fmri_surface_data
+from multimodal_decoding_tpu.data.features import get_latent_features
+from multimodal_decoding_tpu.data.preprocess import standardize_fmri_betas
+from multimodal_decoding_tpu.data.preprocess import standardize_latents
+from multimodal_decoding_tpu.data.stimuli import (
+    TEST_STIM_TYPES,
+    create_null_distr_shuffled_indices,
+)
+from multimodal_decoding_tpu.io import artifacts
+from multimodal_decoding_tpu.io.surface import knn_adjacency, radius_adjacency
+from multimodal_decoding_tpu.ops import metrics as M
+from multimodal_decoding_tpu.parallel.searchlight_runner import run_searchlight
+
+
+def searchlight_mode_str(radius=None, n_neighbors=None) -> str:
+    """Mode string in results paths (parity: searchlight.py:299-305)."""
+    if radius is not None:
+        return f"radius_{radius}"
+    if n_neighbors is not None:
+        return f"n_neighbors_{n_neighbors}"
+    raise RuntimeError("Need to set either radius or n_neighbors arg!")
+
+
+def get_results_dir(feats_config, hemi, subject, training_mode, resolution, mode,
+                    out_dir=None) -> str:
+    """Directory contract (parity: searchlight.py:308-313)."""
+    return os.path.join(
+        out_dir or SEARCHLIGHT_OUT_DIR, training_mode, feats_config.model,
+        feats_config.combined_feats, feats_config.vision_features,
+        feats_config.lang_features, subject, resolution, hemi, mode,
+    )
+
+
+def get_results_file_path(feats_config, hemi, subject, training_mode, resolution, mode,
+                          l2_regularization_alpha, out_dir=None) -> str:
+    """File contract (parity: searchlight.py:316-318)."""
+    return os.path.join(
+        get_results_dir(feats_config, hemi, subject, training_mode, resolution, mode, out_dir),
+        f"alpha_{str(l2_regularization_alpha)}.p",
+    )
+
+
+@dataclass
+class SearchlightConfig:
+    betas_dir: str
+    mesh_coords: dict  # {hemi: [V, 3] inflated-mesh coordinates}
+    model: str = DEFAULT_MODEL
+    features: str = SELECT_DEFAULT
+    test_features: str = SELECT_DEFAULT
+    vision_features: str = SELECT_DEFAULT
+    lang_features: str = SELECT_DEFAULT
+    subjects: list = field(default_factory=lambda: list(SUBJECTS))
+    training_modes: list = field(default_factory=lambda: [MODALITY_AGNOSTIC])
+    hemis: list = field(default_factory=lambda: ["left", "right"])
+    resolution: str = DEFAULT_RESOLUTION
+    l2_regularization_alpha: float = 1.0
+    alphas_cv: list | None = None  # per-vertex CV when set (BASELINE config)
+    radius: float | None = None
+    n_neighbors: int | None = None
+    create_null_distr: bool = False
+    n_permutations_per_subject: int = 100
+    block_size: int | None = None
+    out_dir: str | None = None
+    overwrite: bool = False
+    progress: bool = True
+
+
+def build_adjacency(coords, nan_locations=None, radius=None, n_neighbors=None):
+    """Adjacency over (optionally NaN-filtered) mesh coords (searchlight.py:152-178).
+
+    Returns (indices [V', K], mask or None, n_neighbors_per_vertex or None,
+    distances or None).
+    """
+    coords = np.asarray(coords)
+    if nan_locations is not None:
+        coords = coords[~np.asarray(nan_locations)]
+    if radius is not None:
+        idx, mask, counts = radius_adjacency(coords, radius)
+        print(
+            f"Number of neighbors within {radius}mm radius: {counts.mean():.1f} "
+            f"(max: {counts.max():.0f} | min: {counts.min():.0f})"
+        )
+        return idx, mask, counts, None
+    if n_neighbors is not None:
+        idx, dists = knn_adjacency(coords, n_neighbors)
+        print(f"Max radius {n_neighbors} neighbors: {dists.max():.2f}mm")
+        print(f"Mean radius: {dists.max(axis=1).mean():.2f}mm")
+        return idx, None, None, dists
+    raise RuntimeError("Need to set either radius or n_neighbors arg!")
+
+
+def run(cfg: SearchlightConfig) -> list:
+    """subject x training_mode x hemi loop (parity: searchlight.py:181-296)."""
+    shuffles = None
+    if cfg.create_null_distr:
+        shuffles = np.stack(
+            create_null_distr_shuffled_indices(cfg.n_permutations_per_subject)
+        ).astype(np.int32)
+
+    mode_str = searchlight_mode_str(cfg.radius, cfg.n_neighbors)
+    outputs = []
+    for subject in cfg.subjects:
+        for training_mode in cfg.training_modes:
+            for hemi in cfg.hemis:
+                feats_config = LatentFeatsConfig(
+                    cfg.model, cfg.features, cfg.test_features, cfg.vision_features,
+                    cfg.lang_features, verbose=False,
+                )
+                results_path = get_results_file_path(
+                    feats_config, hemi, subject, training_mode, cfg.resolution,
+                    mode_str, cfg.l2_regularization_alpha, cfg.out_dir,
+                )
+                if os.path.isfile(results_path) and not cfg.overwrite:
+                    print(f"Skipping searchlight: results at {results_path}")
+                    continue
+
+                train_fmri, _, _ = get_fmri_surface_data(
+                    cfg.betas_dir, subject, SPLIT_TRAIN, training_mode, hemi
+                )
+                test_fmri, _, _ = get_fmri_surface_data(
+                    cfg.betas_dir, subject, SPLIT_TEST, hemi=hemi
+                )
+                imagery_fmri, _, _ = get_fmri_surface_data(
+                    cfg.betas_dir, subject, SPLIT_IMAGERY, hemi=hemi
+                )
+                nan_locations = np.isnan(train_fmri[0])
+                train_fmri, test_fmri, imagery_fmri = standardize_fmri_betas(
+                    train_fmri, test_fmri, imagery_fmri
+                )
+
+                print(
+                    f"\nTRAIN MODE: {training_mode} | SUBJECT: {subject} | "
+                    f"MODEL: {feats_config.model} | FEATURES: {feats_config.features} "
+                    f"| HEMI: {hemi}"
+                )
+
+                train_lat = get_latent_features(feats_config, subject, SPLIT_TRAIN, training_mode)
+                test_lat = get_latent_features(feats_config, subject, SPLIT_TEST)
+                imag_lat = get_latent_features(feats_config, subject, SPLIT_IMAGERY)
+                train_lat, test_lat, imag_lat = standardize_latents(
+                    train_lat, test_lat, imag_lat
+                )
+
+                adjacency, adj_mask, n_neighbors_per_vertex, distances = build_adjacency(
+                    cfg.mesh_coords[hemi], nan_locations, cfg.radius, cfg.n_neighbors
+                )
+
+                t0 = time.time()
+                score_maps, aux = run_searchlight(
+                    train_fmri, test_fmri, imagery_fmri,
+                    train_lat, test_lat, imag_lat,
+                    adjacency,
+                    TEST_STIM_TYPES,
+                    alpha=cfg.l2_regularization_alpha,
+                    alphas_cv=cfg.alphas_cv,
+                    adjacency_mask=adj_mask,
+                    shuffles=shuffles,
+                    block_size=cfg.block_size,
+                    progress=cfg.progress,
+                )
+                print(f"Searchlight time: {int(time.time() - t0)}s "
+                      f"({aux['vertices_per_sec']:.0f} vertices/s)")
+
+                for metric in (M.ACC_CAPTIONS, M.ACC_IMAGES, M.ACC_IMAGERY,
+                               M.ACC_IMAGERY_WHOLE_TEST):
+                    vals = score_maps[metric]
+                    print(f"Mean score ({metric}): {np.mean(vals):.2f} | "
+                          f"Max score: {np.max(vals):.2f}")
+
+                results_dict = {
+                    "nan_locations": nan_locations,
+                    "adjacency": adjacency,
+                    "n_neighbors": n_neighbors_per_vertex,
+                    "distances": distances,
+                    "score_maps": score_maps,  # canonical {metric: [V']}
+                    "scores": artifacts.scores_to_list(score_maps),  # reference layout
+                    "best_alpha": aux.get("best_alpha"),
+                    "elapsed_s": aux["elapsed_s"],
+                    "vertices_per_sec": aux["vertices_per_sec"],
+                }
+                artifacts.save_pickle(results_dict, results_path)
+                if "null_scores" in aux:
+                    artifacts.save_null_scores_npz(
+                        os.path.join(os.path.dirname(results_path), "null_distr.npz"),
+                        aux["null_scores"],
+                    )
+                outputs.append(results_path)
+    return outputs

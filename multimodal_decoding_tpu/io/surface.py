@@ -143,15 +143,24 @@ def edge_lengths_dict(mesh: SurfaceMesh) -> dict:
     return {(int(a), int(b)): float(l) for (a, b), l in zip(e, d)}
 
 
-def knn_adjacency(coords: np.ndarray, k: int, block: int = 4096):
-    """Exact k-NN over mesh coordinates, on device.
+def knn_adjacency(coords: np.ndarray, k: int, block: int = 4096, method: str = "exact"):
+    """k-NN over mesh coordinates.
 
     Returns (indices [V, k] int32, distances [V, k] float32), sorted by
     distance with the query point first — matching sklearn
     ``NearestNeighbors.kneighbors`` output (searchlight.py:173) used for the
-    n_neighbors searchlight mode.  Blocked over query vertices so the [V, V]
-    distance matrix is never materialised.
+    n_neighbors searchlight mode.
+
+    method="exact" (default) uses sklearn's KD-tree in float64 — the
+    adjacency is a build-once cached artifact, so exact reference parity wins
+    over speed.  method="device" runs blocked |q|^2-2qp+|p|^2 + top_k on the
+    accelerator (f32; boundary neighbours may differ on near-ties).
     """
+    if method == "exact":
+        from sklearn.neighbors import NearestNeighbors
+
+        dists, idx = NearestNeighbors().fit(coords).kneighbors(coords, n_neighbors=k)
+        return idx.astype(np.int32), dists.astype(np.float32)
     import jax
     import jax.numpy as jnp
 
