@@ -58,14 +58,19 @@ def make_synthetic_dataset(
     noise: float = 0.5,
     n_nan_vertices: int = 3,
     seed: int = 0,
+    beta_seed: int | None = None,
 ):
     """Build a full synthetic dataset under ``root``.
 
     Returns a dict of config paths/values to point the pipeline at.  Betas
     are generated as ``latent @ G + noise`` per vertex group so the planted
-    mapping is linearly decodable.
+    mapping is linearly decodable.  ``beta_seed`` varies the per-subject
+    brain mapping/noise while ``seed`` keeps the (shared) feature pickle
+    stable — call once per subject with distinct beta_seed for group-level
+    fixtures.
     """
-    rng = np.random.RandomState(seed)
+    rng = np.random.RandomState(seed if beta_seed is None else beta_seed)
+    feat_rng_seed = seed
     betas_dir = os.path.join(root, "betas")
     stim_info_dir = os.path.join(root, "stim_info")
     features_dir = os.path.join(root, "nn_features")
@@ -88,9 +93,11 @@ def make_synthetic_dataset(
     with open(os.path.join(stim_info_dir, f"{subject}_stim_types_train.p"), "wb") as f:
         pickle.dump(np.array(train_types), f)
 
-    all_ids = sorted(set(train_ids) | set(test_ids) | set(imagery_ids))
+    all_imagery = {sid for ids in IMAGERY_STIMS_IDS.values() for sid in ids}
+    all_ids = sorted(set(train_ids) | set(test_ids) | all_imagery)
     feats = make_feature_pickle(
-        os.path.join(features_dir, f"{model}.p"), all_ids, dim=latent_dim, seed=seed + 1
+        os.path.join(features_dir, f"{model}.p"), all_ids, dim=latent_dim,
+        seed=feat_rng_seed + 1,
     )
 
     # planted linear map latent -> betas

@@ -1,0 +1,132 @@
+"""Multi-chip compute steps: shard_map over a device mesh.
+
+The two sharded primitives matching this project's parallelism inventory
+(SURVEY.md §2b):
+
+* ``sharded_gram``: the whole-brain gram ``K = X X^T`` with the FEATURE axis
+  (voxels, up to ~327k) sharded across devices — each chip multiplies its
+  feature slab, a psum over ICI reduces the partial grams.  This is the
+  tensor-parallel analogue for the dual ridge solve.
+
+* ``sharded_searchlight_step``: the fused searchlight block (gather -> gram
+  -> Cholesky -> predict -> score) with the VERTEX axis sharded — the
+  project's "sequence parallelism" (the vertex dim is the long axis).  Betas
+  are replicated, per-device vertex blocks compute locally, score maps are
+  all-gathered.
+
+Both are exercised on an N-virtual-device CPU mesh by tests and by
+``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from multimodal_decoding_tpu.decoding.searchlight_engine import (
+    TestLayout,
+    fit_block,
+    gather_patches,
+    predict_block,
+    score_block,
+)
+from multimodal_decoding_tpu.ops.ridge import dual_ridge_fit, dual_ridge_predict
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def sharded_gram(X: jax.Array, mesh: Mesh, axis: str = "f") -> jax.Array:
+    """K = X X^T with X [n, F] sharded over features; psum over ICI.
+
+    Per-chip compute is a [n, F/d] x [F/d, n] matmul; the reduction is one
+    psum of [n, n] partials (reduce_scatter-equivalent collective cost).
+    """
+
+    def local_gram(x_local):
+        k_part = jnp.matmul(
+            x_local, x_local.T, preferred_element_type=jnp.float32, precision=HIGHEST
+        )
+        return jax.lax.psum(k_part, axis)
+
+    fn = shard_map(
+        local_gram, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, None)
+    )
+    return fn(X)
+
+
+def sharded_searchlight_step(mesh: Mesh, layout: TestLayout, n_train: int, n_test: int,
+                             alpha: float = 1.0):
+    """Build a jitted multi-chip searchlight step.
+
+    Returns fn(X_all [N, V_pad], Y_train, Y_test, Y_imag, idx [B, K]) ->
+    {metric: [B]} with idx sharded over the vertex axis and everything else
+    replicated; the output score maps are implicitly all-gathered by the
+    out_spec.
+    """
+
+    def local_step(X_all, Y_train, Y_test, Y_imag, idx):
+        patches = gather_patches(X_all, idx)  # local vertex block
+        Xtr = patches[:n_train]
+        Xte = patches[n_train : n_train + n_test]
+        Xim = patches[n_train + n_test :]
+        W = fit_block(Xtr, Y_train, alpha)
+        scores = score_block(
+            predict_block(Xte, W), predict_block(Xim, W), Y_test, Y_imag, layout
+        )
+        return scores
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("v", None)),
+        out_specs=P("v"),
+    )
+    return jax.jit(fn)
+
+
+def multichip_training_step(mesh_v: Mesh, mesh_f: Mesh):
+    """One full 'training step' of the framework across a mesh.
+
+    Composes both sharding patterns on tiny shapes: (1) the feature-sharded
+    whole-brain gram + dual ridge fit + prediction (tensor parallel), (2) the
+    vertex-sharded searchlight block (sequence/data parallel over vertices).
+    Used by __graft_entry__.dryrun_multichip.
+    """
+    n_dev = len(mesh_v.devices.flatten())
+    rng = np.random.RandomState(0)
+    n_train, n_test, n_imag, d = 24, 10, 3, 6
+    v = 8 * n_dev  # vertex axis divisible by mesh
+    f = 16 * n_dev  # feature axis divisible by mesh
+    k = 5
+
+    X_train = rng.randn(n_train, f).astype(np.float32)
+    Y_train = rng.randn(n_train, d).astype(np.float32)
+    X_test = rng.randn(n_test, f).astype(np.float32)
+
+    # (1) feature-sharded gram + dual ridge + predict
+    X_sharded = jax.device_put(X_train, NamedSharding(mesh_f, P(None, "f")))
+    K = sharded_gram(X_sharded, mesh_f)
+    dual = dual_ridge_fit(K, jnp.asarray(Y_train), 10.0)
+    K_q = jnp.asarray(X_test) @ X_sharded.T
+    preds_wb = dual_ridge_predict(K_q, dual)
+
+    # (2) vertex-sharded searchlight block
+    stim_types = np.array(["caption"] * (n_test // 2) + ["image"] * (n_test - n_test // 2))
+    layout = TestLayout.from_stim_types(stim_types)
+    X_all = rng.randn(n_train + n_test + n_imag, v).astype(np.float32)
+    Y_test = rng.randn(n_test, d).astype(np.float32)
+    Y_imag = rng.randn(n_imag, d).astype(np.float32)
+    idx = np.stack([rng.choice(v, size=k, replace=False) for _ in range(v)]).astype(np.int32)
+
+    step = sharded_searchlight_step(mesh_v, layout, n_train, n_test, alpha=1.0)
+    idx_sharded = jax.device_put(idx, NamedSharding(mesh_v, P("v", None)))
+    scores = step(
+        jax.device_put(jnp.asarray(X_all), NamedSharding(mesh_v, P())),
+        jnp.asarray(Y_train), jnp.asarray(Y_test), jnp.asarray(Y_imag), idx_sharded,
+    )
+    return np.asarray(preds_wb), {m: np.asarray(s) for m, s in scores.items()}
