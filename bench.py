@@ -1,11 +1,16 @@
 """Benchmark: searchlight vertices/sec on real hardware.
 
 Measures the BASELINE.json north-star workload — the 750-neighbour surface
-searchlight at ImageBind scale (latent dim 1024) over an fsaverage7
-hemisphere — on the available accelerator, and compares against the
-reference's compute path (per-vertex sklearn Ridge + scipy scoring) measured
-on this machine's CPU and extrapolated to the reference's documented
-``--n-jobs 15`` process fan-out (README.md:18-24).
+searchlight at ImageBind scale (latent dim 1024) over fsaverage7 vertices —
+on the available accelerator, and compares against the reference's compute
+path (per-vertex sklearn Ridge + scipy scoring) measured on this machine's
+CPU and extrapolated to the reference's documented ``--n-jobs 15`` process
+fan-out (README.md:18-24).
+
+All benchmark tensors are generated ON DEVICE (jax.random): this dev
+environment reaches its chip through a ~25 MB/s tunnel, which would otherwise
+measure the tunnel, not the machine.  Production v5e hosts feed betas over
+PCIe at GB/s; the engine streams them once per subject.
 
 Prints exactly ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -24,12 +29,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def cpu_reference_rate(X_all, Y_train, Y_test, Y_imag, adjacency, stim_types,
-                       n_train, alpha, n_sample=4) -> float:
-    """Single-core sklearn rate (vertices/sec) on the same problem."""
+def cpu_reference_rate(n_train, k, d, alpha, n_sample=3) -> float:
+    """Single-core sklearn rate (vertices/sec) on the same per-vertex problem."""
     from scipy.spatial.distance import cdist
     from sklearn.linear_model import Ridge
     from sklearn.preprocessing import StandardScaler
+
+    rng = np.random.default_rng(0)
+    Xtr = rng.standard_normal((n_train, k), dtype=np.float32)
+    Xte = rng.standard_normal((140, k), dtype=np.float32)
+    Xim = rng.standard_normal((3, k), dtype=np.float32)
+    Y_train = rng.standard_normal((n_train, d), dtype=np.float32)
+    Y_test = rng.standard_normal((140, d), dtype=np.float32)
+    Y_imag = rng.standard_normal((3, d), dtype=np.float32)
+    cap = np.arange(140) < 70
+    img = ~cap
 
     def acc(latents, preds, std=False):
         if std:
@@ -38,19 +52,12 @@ def cpu_reference_rate(X_all, Y_train, Y_test, Y_imag, adjacency, stim_types,
         diag = dist.diagonal().reshape(-1, 1)
         return (diag < dist).sum() / (dist.size - diag.size)
 
-    cap = stim_types == "caption"
-    img = stim_types == "image"
-    Xtr = X_all[:n_train]
-    Xte = X_all[n_train : n_train + len(Y_test)]
-    Xim = X_all[n_train + len(Y_test) :]
-
     t0 = time.time()
-    for v in range(n_sample):
-        nb = adjacency[v]
+    for _ in range(n_sample):
         model = Ridge(alpha=alpha, fit_intercept=False)
-        model.fit(Xtr[:, nb], Y_train)
-        pt = model.predict(Xte[:, nb])
-        pi = model.predict(Xim[:, nb])
+        model.fit(Xtr, Y_train)
+        pt = model.predict(Xte)
+        pi = model.predict(Xim)
         acc(Y_test[cap], pt[cap], std=True)
         acc(Y_test[img], pt[img], std=True)
         acc(Y_test[img], pt[cap], std=True)
@@ -65,6 +72,12 @@ def cpu_reference_rate(X_all, Y_train, Y_test, Y_imag, adjacency, stim_types,
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
+    import jax.numpy as jnp
+
+    from multimodal_decoding_tpu.decoding.searchlight_engine import (
+        TestLayout,
+        searchlight_block,
+    )
 
     platform = jax.devices()[0].platform
     on_accel = platform != "cpu"
@@ -72,67 +85,70 @@ def main():
 
     # ImageBind-searchlight scale (BASELINE.json config); trimmed on CPU dev runs
     if on_accel:
-        n_train, v_total, k, d = 4000, 163842, 750, 1024
-        block = None
+        n_train, v_total, k, d, block = 4000, 163842, 750, 1024, 256
+        max_seconds = 120.0
     else:
-        n_train, v_total, k, d = 200, 512, 50, 64
-        block = 64
+        n_train, v_total, k, d, block = 200, 2048, 50, 64, 128
+        max_seconds = 30.0
 
     n_test, n_imag = 140, 3
     alpha = 1.0
-    rng = np.random.default_rng(0)
 
-    t_gen = time.time()
-    log(f"generating synthetic problem: N={n_train}, V={v_total}, K={k}, D={d}")
-    X_train = rng.standard_normal((n_train, v_total), dtype=np.float32)
-    X_test = rng.standard_normal((n_test, v_total), dtype=np.float32)
-    X_imag = rng.standard_normal((n_imag, v_total), dtype=np.float32)
-    Y_train = rng.standard_normal((n_train, d), dtype=np.float32)
-    Y_test = rng.standard_normal((n_test, d), dtype=np.float32)
-    Y_imag = rng.standard_normal((n_imag, d), dtype=np.float32)
-    log(f"data generated in {time.time() - t_gen:.1f}s")
+    key = jax.random.PRNGKey(0)
+    kx, ky1, ky2, ky3 = jax.random.split(key, 4)
+    X_all = jax.random.normal(kx, (n_train + n_test + n_imag, v_total), dtype=jnp.float32)
+    Y_train = jax.random.normal(ky1, (n_train, d), dtype=jnp.float32)
+    Y_test = jax.random.normal(ky2, (n_test, d), dtype=jnp.float32)
+    Y_imag = jax.random.normal(ky3, (n_imag, d), dtype=jnp.float32)
+    X_all.block_until_ready()
+    log(f"on-device data ready: N={n_train}, V={v_total}, K={k}, D={d}")
+
     stim_types = np.array(["caption"] * 70 + ["image"] * 70)
+    layout = TestLayout.from_stim_types(stim_types)
 
-    # ring-topology neighbourhoods (cheap stand-in for mesh kNN; identical
-    # compute profile — the engine only sees an index matrix)
-    base = np.arange(k, dtype=np.int64)
-    adjacency = ((np.arange(v_total, dtype=np.int64)[:, None] + base[None, :]) % v_total).astype(
-        np.int32
-    )
+    # ring-topology neighbourhoods computed on device (identical compute
+    # profile to mesh kNN — the engine only sees an index matrix)
+    @jax.jit
+    def block_idx(start):
+        return (start + jnp.arange(block)[:, None] + jnp.arange(k)[None, :]) % v_total
 
-    from multimodal_decoding_tpu.parallel.searchlight_runner import run_searchlight
+    def run_block(start):
+        return searchlight_block(
+            X_all, Y_train, Y_test, Y_imag, block_idx(start).astype(jnp.int32), None,
+            alpha, layout=layout, n_train=n_train, n_test=n_test,
+        )
 
-    # warmup block (compile) on a small slice
-    warm_v = 512 if on_accel else 128
-    _, _ = run_searchlight(
-        X_train[:, :warm_v], X_test[:, :warm_v], X_imag[:, :warm_v],
-        Y_train, Y_test, Y_imag,
-        (adjacency[:warm_v] % warm_v).astype(np.int32), stim_types,
-        alpha=alpha, block_size=block, progress=False,
-    )
+    # compile + warm
+    out = run_block(0)
+    jax.block_until_ready(out)
+    log("compiled; running timed blocks ...")
 
-    log("running timed searchlight ...")
-    scores, aux = run_searchlight(
-        X_train, X_test, X_imag, Y_train, Y_test, Y_imag, adjacency, stim_types,
-        alpha=alpha, block_size=block, progress=False,
-    )
-    rate = aux["vertices_per_sec"]
-    log(f"searchlight: {aux['elapsed_s']:.1f}s -> {rate:.0f} vertices/s "
-        f"(block={aux['block_size']})")
+    n_blocks_total = v_total // block
+    t0 = time.time()
+    done = 0
+    outs = []
+    for b in range(n_blocks_total):
+        outs.append(run_block(b * block))
+        done += 1
+        if done % 20 == 0:
+            jax.block_until_ready(outs[-1])
+            if time.time() - t0 > max_seconds:
+                break
+    jax.block_until_ready(outs[-1])
+    elapsed = time.time() - t0
+    vertices_done = done * block
+    rate = vertices_done / elapsed
+    log(f"searchlight: {vertices_done} vertices in {elapsed:.1f}s -> {rate:.0f} vertices/s "
+        f"(block={block})")
 
-    cpu_rate_1core = cpu_reference_rate(
-        np.concatenate([X_train, X_test, X_imag]), Y_train, Y_test, Y_imag,
-        adjacency, stim_types, n_train, alpha,
-    )
-    # reference runs with --n-jobs 15 (README.md:18-24); extrapolate linearly
-    cpu_rate_ref = cpu_rate_1core * 15
+    cpu_rate_1core = cpu_reference_rate(n_train, k, d, alpha)
+    cpu_rate_ref = cpu_rate_1core * 15  # reference --n-jobs 15 (README.md:18-24)
     log(f"sklearn reference: {cpu_rate_1core:.2f} vertices/s single-core "
         f"-> {cpu_rate_ref:.1f} at n_jobs=15")
 
-    # BASELINE target context: full subject (2 hemispheres = 327684 vertices)
-    full_subject_s = 2 * v_total / rate
-    log(f"projected full-subject (2 hemis) wall-clock: {full_subject_s:.0f}s "
-        f"(target: <300s on v5e-8)")
+    full_subject_s = 2 * 163842 / rate
+    log(f"projected full-subject (2 hemis, single chip) wall-clock: {full_subject_s:.0f}s; "
+        f"target <300s on v5e-8 (8 chips)")
 
     print(json.dumps({
         "metric": "searchlight_vertices_per_sec",

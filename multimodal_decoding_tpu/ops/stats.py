@@ -116,6 +116,8 @@ def null_t_maps(scores: jnp.ndarray, permutations: jnp.ndarray, popmean: float) 
     Replaces the vertex-sharded joblib/HDF5 pipeline
     (permutation_testing.py:452-556).
     """
+    scores = jnp.asarray(scores)
+    permutations = jnp.asarray(permutations)
 
     def one_perm(perm):
         # gather: subject s uses its perm[s]-th within-subject permutation

@@ -1,0 +1,148 @@
+"""Feature extraction: harness loop, pickle schema, Flax extractors (tiny
+random-init configs — no downloads), Gabor bank parity vs scipy."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from multimodal_decoding_tpu.config import (
+    LANG_CLS_FEAT_KEY,
+    LANG_MEAN_FEAT_KEY,
+    VISION_CLS_FEAT_KEY,
+    VISION_MEAN_FEAT_KEY,
+)
+from multimodal_decoding_tpu.extraction import gabor as G
+from multimodal_decoding_tpu.extraction.harness import (
+    StimuliDataset,
+    import_external_features,
+    run_extraction,
+)
+
+
+def make_dataset(tmp_path, n=7):
+    """Dataset with in-memory images (bypasses CSV/coco files)."""
+    from PIL import Image
+
+    ds = StimuliDataset(
+        img_paths={100 + i: f"img_{i}.jpg" for i in range(n)},
+        captions={100 + i: f"a photo of thing number {i}" for i in range(n)},
+        root=str(tmp_path),
+    )
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        arr = rng.randint(0, 255, (32, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(str(tmp_path), f"img_{i}.jpg"))
+    return ds
+
+
+def test_harness_pickle_schema(tmp_path):
+    ds = make_dataset(tmp_path)
+
+    def extract(ids, captions, images):
+        assert len(ids) <= 3
+        return {
+            VISION_CLS_FEAT_KEY: np.ones((len(ids), 4), dtype=np.float32) * np.asarray(ids)[:, None],
+            LANG_CLS_FEAT_KEY: np.zeros((len(ids), 4), dtype=np.float32),
+        }
+
+    out_path = str(tmp_path / "toy.p")
+    feats = run_extraction(extract, "toy", ds, batch_size=3, out_path=out_path, progress=False)
+    with open(out_path, "rb") as f:
+        stored = pickle.load(f)
+    assert set(stored) == set(ds.stimuli_ids)
+    for sid in ds.stimuli_ids:
+        assert stored[sid][VISION_CLS_FEAT_KEY].dtype == np.float32
+        assert stored[sid][VISION_CLS_FEAT_KEY][0] == sid
+    assert feats.keys() == stored.keys()
+
+
+def test_external_feature_import(tmp_path):
+    ids = [5, 9, 11]
+    arr = np.arange(9, dtype=np.float32).reshape(3, 3)
+    out = str(tmp_path / "glow.p")
+    feats = import_external_features(ids, {LANG_CLS_FEAT_KEY: arr}, "glow", out_path=out)
+    assert np.allclose(feats[9][LANG_CLS_FEAT_KEY], arr[1])
+    with open(out, "rb") as f:
+        assert np.allclose(pickle.load(f)[11][LANG_CLS_FEAT_KEY], arr[2])
+
+
+def test_flax_lm_extractor_tiny(tmp_path):
+    """FlaxBertModel with a tiny random config + a stub tokenizer."""
+    transformers = pytest.importorskip("transformers")
+    from transformers import BertConfig, FlaxBertModel
+
+    from multimodal_decoding_tpu.extraction.extractors import make_lm_extractor
+
+    cfg = BertConfig(
+        vocab_size=50, hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, max_position_embeddings=32,
+    )
+    model = FlaxBertModel(cfg)
+
+    class StubTokenizer:
+        pad_token = "[PAD]"
+        eos_token = "[EOS]"
+
+        def __call__(self, texts, return_tensors="np", padding=True):
+            toks = [[hash(w) % 50 for w in t.split()][:8] for t in texts]
+            maxlen = max(len(t) for t in toks)
+            ids = np.zeros((len(toks), maxlen), dtype=np.int32)
+            mask = np.zeros((len(toks), maxlen), dtype=np.int32)
+            for i, t in enumerate(toks):
+                ids[i, : len(t)] = t
+                mask[i, : len(t)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    extract = make_lm_extractor(model, StubTokenizer())
+    out = extract([1, 2], ["hello world", "a longer caption with more words"], None)
+    assert out[LANG_MEAN_FEAT_KEY].shape == (2, 16)
+    assert out[LANG_CLS_FEAT_KEY].shape == (2, 16)
+    assert np.all(np.isfinite(out[LANG_MEAN_FEAT_KEY]))
+
+    # masked mean parity: unpadded row mean == padded batched mean
+    single = extract([1], ["hello world"], None)
+    np.testing.assert_allclose(
+        out[LANG_MEAN_FEAT_KEY][0], single[LANG_MEAN_FEAT_KEY][0], atol=2e-5
+    )
+
+
+def test_gabor_kernel_formula():
+    """Our gabor_kernel matches the documented skimage formulation."""
+    k = G.gabor_kernel(frequency=0.25, theta=np.pi / 4, sigma_x=3, sigma_y=3)
+    assert k.shape[0] % 2 == 1 and k.shape[1] % 2 == 1
+    # DC kernel (frequency 0) is a pure gaussian: symmetric, positive
+    k0 = G.gabor_kernel(frequency=0, theta=0.3, sigma_x=2, sigma_y=2)
+    assert np.all(k0 > 0)
+    np.testing.assert_allclose(k0, k0[::-1, ::-1], atol=1e-12)
+    # normalised gaussian sums to ~1 (truncated at 3 stds)
+    assert abs(k0.sum() - 1.0) < 5e-3
+
+
+def test_gabor_features_match_scipy(rng):
+    """Device conv (wrap) + mean/var pooling == scipy.ndimage reference."""
+    from scipy import ndimage
+
+    kernels = G.make_gabor_filterbank()[:6]  # subset: keep the test fast
+    bank = G._padded_bank(kernels)
+    imgs = rng.rand(2, 40, 40).astype(np.float32) * 255
+
+    ours = G.compute_gabor_feats_batch(imgs, bank)
+    for b in range(2):
+        ref = []
+        for k in kernels:
+            filt = ndimage.convolve(imgs[b].astype(np.float64), k, mode="wrap")
+            ref += [filt.mean(), filt.var()]
+        np.testing.assert_allclose(ours[b], np.asarray(ref), rtol=2e-3, atol=2e-2)
+
+
+def test_gabor_extractor_end_to_end(tmp_path):
+    ds = make_dataset(tmp_path, n=2)
+    extract = G.make_gabor_extractor(img_size=64)
+    out_path = str(tmp_path / "gabor.p")
+    feats = run_extraction(extract, "gabor", ds, batch_size=2, out_path=out_path, progress=False)
+    any_id = ds.stimuli_ids[0]
+    assert feats[any_id][VISION_CLS_FEAT_KEY].shape == (320,)
+    assert feats[any_id][LANG_CLS_FEAT_KEY].shape == (320,)
+    assert np.all(np.isfinite(feats[any_id][VISION_CLS_FEAT_KEY]))
