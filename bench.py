@@ -112,30 +112,36 @@ def main():
     def block_idx(start):
         return (start + jnp.arange(block)[:, None] + jnp.arange(k)[None, :]) % v_total
 
-    def run_block(start):
-        return searchlight_block(
-            X_all, Y_train, Y_test, Y_imag, block_idx(start).astype(jnp.int32), None,
+    @jax.jit
+    def run_block(xa, ytr, yte, yim, start, acc):
+        scores = searchlight_block(
+            xa, ytr, yte, yim, block_idx(start).astype(jnp.int32), None,
             alpha, layout=layout, n_train=n_train, n_test=n_test,
         )
+        # fold the block's scores into a running checksum: chains the blocks
+        # and lets a single 4-byte host readback act as a true barrier
+        # (block_until_ready is not a reliable sync through relay transports)
+        return acc + sum(s.sum() for s in scores.values())
 
-    # compile + warm
-    out = run_block(0)
-    jax.block_until_ready(out)
+    # compile + warm (host readback = real synchronisation)
+    checksum = run_block(X_all, Y_train, Y_test, Y_imag, 0, jnp.float32(0.0))
+    _ = float(checksum)
     log("compiled; running timed blocks ...")
 
     n_blocks_total = v_total // block
     t0 = time.time()
     done = 0
-    outs = []
+    checksum = jnp.float32(0.0)
     for b in range(n_blocks_total):
-        outs.append(run_block(b * block))
+        checksum = run_block(X_all, Y_train, Y_test, Y_imag, b * block, checksum)
         done += 1
-        if done % 20 == 0:
-            jax.block_until_ready(outs[-1])
+        if done % 40 == 0:
+            _ = float(checksum)  # sync point
             if time.time() - t0 > max_seconds:
                 break
-    jax.block_until_ready(outs[-1])
+    final = float(checksum)  # full barrier
     elapsed = time.time() - t0
+    assert np.isfinite(final)
     vertices_done = done * block
     rate = vertices_done / elapsed
     log(f"searchlight: {vertices_done} vertices in {elapsed:.1f}s -> {rate:.0f} vertices/s "

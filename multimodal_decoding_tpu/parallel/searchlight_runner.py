@@ -106,6 +106,14 @@ def run_searchlight(
     results: list[dict] = []
     null_results: list[dict] = []
     n_blocks = len(idx_padded) // block_size
+    # Materialise outputs to host every few blocks: keeps JAX's async dispatch
+    # pipelining compute while bounding live device memory (null-mode outputs
+    # are [B, P] per metric and would otherwise accumulate on device).
+    flush_every = 8
+
+    def _to_host(d):
+        return {k: np.asarray(v) for k, v in d.items()}
+
     t0 = time.time()
     for b in range(n_blocks):
         sl = slice(b * block_size, (b + 1) * block_size)
@@ -137,6 +145,10 @@ def run_searchlight(
                 layout=layout, n_train=n_train, n_test=n_test, precision=precision,
             )
             results.append(out)
+        if (b + 1) % flush_every == 0:
+            results[-1] = _to_host(results[-1])
+            if null_results:
+                null_results[-1] = _to_host(null_results[-1])
         if progress and (b % 10 == 0 or b == n_blocks - 1):
             print(f"searchlight block {b + 1}/{n_blocks}", flush=True)
 
