@@ -96,6 +96,9 @@ class SearchlightConfig:
     out_dir: str | None = None
     overwrite: bool = False
     progress: bool = True
+    # fast-math mode: bfloat16 storage + single-pass MXU (the reference uses
+    # float16 inputs, searchlight.py:247-248; parity mode is f32 + HIGHEST)
+    fast_math: bool = False
 
 
 def build_adjacency(coords, nan_locations=None, radius=None, n_neighbors=None):
@@ -178,6 +181,9 @@ def run(cfg: SearchlightConfig) -> list:
                     cfg.mesh_coords[hemi], nan_locations, cfg.radius, cfg.n_neighbors
                 )
 
+                import jax as _jax
+                import numpy as _np
+
                 t0 = time.time()
                 score_maps, aux = run_searchlight(
                     train_fmri, test_fmri, imagery_fmri,
@@ -190,6 +196,10 @@ def run(cfg: SearchlightConfig) -> list:
                     shuffles=shuffles,
                     block_size=cfg.block_size,
                     progress=cfg.progress,
+                    dtype=_np.dtype("bfloat16") if cfg.fast_math else _np.float32,
+                    precision=_jax.lax.Precision.DEFAULT if cfg.fast_math
+                    else _jax.lax.Precision.HIGHEST,
+                    checkpoint_path=results_path + ".ckpt.npz",
                 )
                 print(f"Searchlight time: {int(time.time() - t0)}s "
                       f"({aux['vertices_per_sec']:.0f} vertices/s)")

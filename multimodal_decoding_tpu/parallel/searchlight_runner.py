@@ -11,6 +11,7 @@ against compute automatically.
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -59,6 +60,8 @@ def run_searchlight(
     dtype=np.float32,
     precision=jax.lax.Precision.HIGHEST,
     progress: bool = True,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 64,
 ):
     """Run the full searchlight on device.
 
@@ -114,8 +117,34 @@ def run_searchlight(
     def _to_host(d):
         return {k: np.asarray(v) for k, v in d.items()}
 
+    # Shard-granular checkpointing: a killed run loses at most
+    # ``checkpoint_every`` blocks instead of the whole (subject, hemi) shard
+    # (the reference loses everything, SURVEY.md §5 failure-detection row).
+    ckpt_done = -1
+    if checkpoint_path is not None and os.path.isfile(checkpoint_path):
+        ck = np.load(checkpoint_path, allow_pickle=True)
+        ckpt_done = int(ck["done_blocks"])
+        results = list(ck["results"])
+        null_results = list(ck["null_results"])
+        print(f"resuming searchlight from block {ckpt_done + 1}/{n_blocks}")
+
+    def _save_ckpt(done):
+        if checkpoint_path is None:
+            return
+        os.makedirs(os.path.dirname(checkpoint_path) or ".", exist_ok=True)
+        tmp = checkpoint_path + ".tmp.npz"
+        np.savez(
+            tmp.removesuffix(".npz"),
+            done_blocks=done,
+            results=np.array([_to_host(r) for r in results], dtype=object),
+            null_results=np.array([_to_host(r) for r in null_results], dtype=object),
+        )
+        os.replace(tmp, checkpoint_path)
+
     t0 = time.time()
     for b in range(n_blocks):
+        if b <= ckpt_done:
+            continue
         sl = slice(b * block_size, (b + 1) * block_size)
         idx_b = jax.device_put(jnp.asarray(idx_padded[sl]), shard)
         mask_b = (
@@ -149,6 +178,8 @@ def run_searchlight(
             results[-1] = _to_host(results[-1])
             if null_results:
                 null_results[-1] = _to_host(null_results[-1])
+        if checkpoint_every and (b + 1) % checkpoint_every == 0:
+            _save_ckpt(b)
         if progress and (b % 10 == 0 or b == n_blocks - 1):
             print(f"searchlight block {b + 1}/{n_blocks}", flush=True)
 
@@ -169,4 +200,6 @@ def run_searchlight(
         aux["null_scores"] = collect(null_results)
     if use_cv:
         aux["best_alpha"] = scores.pop("best_alpha")
+    if checkpoint_path is not None and os.path.isfile(checkpoint_path):
+        os.remove(checkpoint_path)
     return scores, aux
