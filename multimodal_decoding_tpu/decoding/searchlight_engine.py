@@ -36,6 +36,7 @@ import numpy as np
 
 from multimodal_decoding_tpu.ops import metrics as M
 from multimodal_decoding_tpu.ops.ridge import kfold_indices
+from multimodal_decoding_tpu.ops.solvers import spd_solve
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -59,11 +60,15 @@ def gather_patches(X: jnp.ndarray, idx: jnp.ndarray, mask=None) -> jnp.ndarray:
     return patches
 
 
-def fit_block(X_train_g: jnp.ndarray, Y_train: jnp.ndarray, alpha, precision=HIGHEST):
+def fit_block(X_train_g: jnp.ndarray, Y_train: jnp.ndarray, alpha, precision=HIGHEST,
+              solver: str = "cholesky"):
     """Batched closed-form ridge over a vertex block.
 
     X_train_g [N, B, K], Y_train [N, D] -> W [B, K, D].
-    Replaces estimator.fit per vertex (searchlight.py:56).
+    Replaces estimator.fit per vertex (searchlight.py:56).  ``solver`` picks
+    the batched SPD backend (ops/solvers.py): "cholesky" (parity default) or
+    "schur" (MXU-native inverse, faster on TPU where triangular solves are
+    the bottleneck).
     """
     G = jnp.einsum(
         "nbk,nbl->bkl", X_train_g, X_train_g, preferred_element_type=jnp.float32,
@@ -75,8 +80,7 @@ def fit_block(X_train_g: jnp.ndarray, Y_train: jnp.ndarray, alpha, precision=HIG
     )
     K = G.shape[-1]
     A = G + jnp.asarray(alpha, G.dtype) * jnp.eye(K, dtype=G.dtype)
-    cho, lower = jax.scipy.linalg.cho_factor(A, lower=True)
-    return jax.scipy.linalg.cho_solve((cho, lower), XtY)
+    return spd_solve(A, XtY, method=solver, precision=precision)
 
 
 def predict_block(X_query_g: jnp.ndarray, W: jnp.ndarray, precision=HIGHEST) -> jnp.ndarray:
@@ -318,7 +322,7 @@ def null_score_block(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test"),
+    static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "solver"),
 )
 def searchlight_block(
     X_all,
@@ -334,6 +338,7 @@ def searchlight_block(
     n_test: int,
     comp_cross: bool = True,
     precision=HIGHEST,
+    solver: str = "cholesky",
 ):
     """One fused block step: gather -> fit -> predict -> score.
 
@@ -344,7 +349,7 @@ def searchlight_block(
     Xtr = patches[:n_train]
     Xte = patches[n_train : n_train + n_test]
     Xim = patches[n_train + n_test :]
-    W = fit_block(Xtr, Y_train, alpha, precision=precision)
+    W = fit_block(Xtr, Y_train, alpha, precision=precision, solver=solver)
     preds_test = predict_block(Xte, W, precision=precision)
     preds_imag = predict_block(Xim, W, precision=precision)
     return score_block(
@@ -354,7 +359,7 @@ def searchlight_block(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test"),
+    static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "solver"),
 )
 def searchlight_block_with_null(
     X_all,
@@ -372,13 +377,14 @@ def searchlight_block_with_null(
     n_test: int,
     comp_cross: bool = True,
     precision=HIGHEST,
+    solver: str = "cholesky",
 ):
     """Block step that also emits the per-shuffle null score family."""
     patches = gather_patches(X_all, idx, mask)
     Xtr = patches[:n_train]
     Xte = patches[n_train : n_train + n_test]
     Xim = patches[n_train + n_test :]
-    W = fit_block(Xtr, Y_train, alpha, precision=precision)
+    W = fit_block(Xtr, Y_train, alpha, precision=precision, solver=solver)
     preds_test = predict_block(Xte, W, precision=precision)
     preds_imag = predict_block(Xim, W, precision=precision)
     main = score_block(
