@@ -43,6 +43,7 @@ from multimodal_decoding_tpu.io import artifacts
 from multimodal_decoding_tpu.io.surface import knn_adjacency, radius_adjacency
 from multimodal_decoding_tpu.ops import metrics as M
 from multimodal_decoding_tpu.parallel.searchlight_runner import run_searchlight
+from multimodal_decoding_tpu.utils.runlog import RunLogger
 
 
 def searchlight_mode_str(radius=None, n_neighbors=None) -> str:
@@ -222,6 +223,16 @@ def run(cfg: SearchlightConfig) -> list:
                     "vertices_per_sec": aux["vertices_per_sec"],
                 }
                 artifacts.save_pickle(results_dict, results_path)
+                RunLogger(results_path + ".runlog.jsonl", echo=False).event(
+                    "searchlight",
+                    subject=subject, training_mode=training_mode, hemi=hemi,
+                    model=cfg.model, vertices_per_sec=aux["vertices_per_sec"],
+                    elapsed_s=aux["elapsed_s"], block_size=aux["block_size"],
+                    mean_scores={
+                        m: float(np.mean(score_maps[m]))
+                        for m in (M.ACC_CAPTIONS, M.ACC_IMAGES, M.ACC_IMAGERY)
+                    },
+                )
                 if "null_scores" in aux:
                     artifacts.save_null_scores_npz(
                         os.path.join(os.path.dirname(results_path), "null_distr.npz"),

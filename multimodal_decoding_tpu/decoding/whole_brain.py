@@ -47,6 +47,7 @@ from multimodal_decoding_tpu.ops.ridge import (
     gram_matrix,
     ridge_cv_dual,
 )
+from multimodal_decoding_tpu.utils.runlog import RunLogger
 
 
 def get_run_str(betas_dir, feats_config, mask=None, surface=False,
@@ -212,6 +213,13 @@ def run(cfg: WholeBrainConfig) -> list:
                     os.makedirs(os.path.dirname(results_file_path), exist_ok=True)
                     with open(results_file_path, "wb") as f:
                         pickle.dump(results, f)
+                    RunLogger(results_file_path + ".runlog.jsonl", echo=False).event(
+                        "whole_brain_decode",
+                        subject=subject, model=model, training_mode=training_mode,
+                        best_alpha=best_alpha, fit_seconds=fit_s,
+                        num_voxels=int(test_b.shape[1]),
+                        scores={k: float(v) for k, v in scores.items()},
+                    )
                     all_results.append(results)
 
                     scores_no_std = M.calc_all_pairwise_accuracy_scores(

@@ -93,8 +93,8 @@ def test_whole_brain_pipeline_matches_sklearn(dataset, tmp_path):
     # results file written at the contract path & skip-if-exists works
     files = []
     for root, _, fnames in os.walk(out_dir):
-        files += [os.path.join(root, f) for f in fnames]
-    assert len(files) == 1 and files[0].endswith("results.p")
+        files += [os.path.join(root, f) for f in fnames if f == "results.p"]
+    assert len(files) == 1
     again = run(cfg)
     assert again == []  # skipped
 
