@@ -101,6 +101,7 @@ def fit_block_cv(
     alphas: jnp.ndarray,
     n_splits: int = 5,
     precision=HIGHEST,
+    solver: str = "cholesky",
 ):
     """Per-vertex alpha selection via K-fold CV (sklearn-split parity).
 
@@ -135,8 +136,8 @@ def fit_block_cv(
         XtY_tr = XtY_full - XtY_val
 
         def one_alpha(alpha):
-            cho = jax.scipy.linalg.cho_factor(G_tr + alpha * eye, lower=True)
-            W = jax.scipy.linalg.cho_solve(cho, XtY_tr)  # [B, K, D]
+            W = spd_solve(G_tr + alpha * eye, XtY_tr, method=solver,
+                          precision=precision)  # [B, K, D]
             preds = jnp.einsum(
                 "nbk,bkd->bnd", Xv, W, preferred_element_type=jnp.float32, precision=precision
             )
@@ -155,8 +156,7 @@ def fit_block_cv(
     best_alpha = alphas[best]
 
     A_mat = G_full + best_alpha[:, None, None] * eye
-    cho, lower = jax.scipy.linalg.cho_factor(A_mat, lower=True)
-    W = jax.scipy.linalg.cho_solve((cho, lower), XtY_full)
+    W = spd_solve(A_mat, XtY_full, method=solver, precision=precision)
     return W, best_alpha, scores.T
 
 
@@ -398,7 +398,8 @@ def searchlight_block_with_null(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits"),
+    static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits",
+                     "solver"),
 )
 def searchlight_block_cv(
     X_all,
@@ -415,13 +416,15 @@ def searchlight_block_cv(
     n_splits: int = 5,
     comp_cross: bool = True,
     precision=HIGHEST,
+    solver: str = "cholesky",
 ):
     """Block step with per-vertex CV alpha selection (BASELINE searchlight config)."""
     patches = gather_patches(X_all, idx, mask)
     Xtr = patches[:n_train]
     Xte = patches[n_train : n_train + n_test]
     Xim = patches[n_train + n_test :]
-    W, best_alpha, cv_scores = fit_block_cv(Xtr, Y_train, alphas, n_splits, precision=precision)
+    W, best_alpha, cv_scores = fit_block_cv(Xtr, Y_train, alphas, n_splits,
+                                            precision=precision, solver=solver)
     preds_test = predict_block(Xte, W, precision=precision)
     preds_imag = predict_block(Xim, W, precision=precision)
     scores = score_block(
