@@ -146,3 +146,46 @@ def test_gabor_extractor_end_to_end(tmp_path):
     assert feats[any_id][VISION_CLS_FEAT_KEY].shape == (320,)
     assert feats[any_id][LANG_CLS_FEAT_KEY].shape == (320,)
     assert np.all(np.isfinite(feats[any_id][VISION_CLS_FEAT_KEY]))
+
+
+def test_flax_clip_extractor_tiny(tmp_path):
+    """FlaxCLIPModel with a tiny random config + a stub processor."""
+    pytest.importorskip("transformers")
+    from transformers import CLIPConfig, CLIPTextConfig, CLIPVisionConfig, FlaxCLIPModel
+
+    from multimodal_decoding_tpu.extraction.extractors import make_clip_extractor
+
+    cfg = CLIPConfig.from_text_vision_configs(
+        CLIPTextConfig(vocab_size=60, hidden_size=16, num_hidden_layers=1,
+                       num_attention_heads=2, intermediate_size=32,
+                       max_position_embeddings=16, projection_dim=8),
+        CLIPVisionConfig(hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+                         intermediate_size=32, image_size=24, patch_size=8,
+                         projection_dim=8),
+        projection_dim=8,
+    )
+    model = FlaxCLIPModel(cfg)
+
+    class StubProcessor:
+        def __call__(self, text=None, images=None, return_tensors="np", padding=True):
+            toks = [[hash(w) % 60 for w in t.split()][:8] for t in text]
+            maxlen = max(len(t) for t in toks)
+            ids = np.zeros((len(toks), maxlen), dtype=np.int32)
+            mask = np.zeros((len(toks), maxlen), dtype=np.int32)
+            for i, t in enumerate(toks):
+                ids[i, : len(t)] = t
+                mask[i, : len(t)] = 1
+            pixel = np.stack(
+                [np.asarray(im.resize((24, 24)), dtype=np.float32).transpose(2, 0, 1) / 255.0
+                 for im in images]
+            )
+            return {"input_ids": ids, "attention_mask": mask, "pixel_values": pixel}
+
+    ds = make_dataset(tmp_path, n=4)
+    extract = make_clip_extractor(model, StubProcessor())
+    feats = run_extraction(extract, "tiny-clip", ds, batch_size=2,
+                           out_path=str(tmp_path / "clip.p"), progress=False)
+    v = feats[ds.stimuli_ids[0]]
+    assert v[VISION_CLS_FEAT_KEY].shape == (8,)
+    assert v[LANG_CLS_FEAT_KEY].shape == (8,)
+    assert np.all(np.isfinite(v[VISION_CLS_FEAT_KEY]))
