@@ -88,6 +88,23 @@ class WholeBrainConfig:
     out_dir: str = RIDGE_DECODER_OUT_DIR
 
 
+class GramCache:
+    """Model-independent kernel matrices for one (subject, mask) dataset.
+
+    The gram K = X X^T and the query kernels depend only on the betas — NOT
+    on the latent model — so a multi-model sweep (the reference refits
+    everything per model, ridge_regression_decoding.py:82-135) amortises the
+    single expensive [N, V]-contraction across all models.
+    """
+
+    def __init__(self, train_betas, test_betas, imagery_betas):
+        t0 = time.time()
+        self.K = gram_matrix(train_betas)
+        self.K_test = cross_matrix(test_betas, train_betas)
+        self.K_imag = cross_matrix(imagery_betas, train_betas)
+        self.gram_seconds = time.time() - t0
+
+
 def decode_single(
     train_betas: np.ndarray,
     test_betas: np.ndarray,
@@ -97,6 +114,7 @@ def decode_single(
     imagery_latents: np.ndarray,
     alphas=DEFAULT_ALPHAS,
     n_splits: int = NUM_CV_SPLITS,
+    gram_cache: "GramCache | None" = None,
 ):
     """One decoder fit: CV alpha sweep + refit + test/imagery predictions.
 
@@ -104,16 +122,14 @@ def decode_single(
     Returns (best_alpha, test_preds, imagery_preds, cv_mean_scores, timing).
     """
     t0 = time.time()
-    K = gram_matrix(train_betas)
+    cache = gram_cache or GramCache(train_betas, test_betas, imagery_betas)
     best_idx, mean_scores, dual = ridge_cv_dual(
-        K, np.asarray(train_latents, np.float32), list(alphas), n_splits=n_splits
+        cache.K, np.asarray(train_latents, np.float32), list(alphas), n_splits=n_splits
     )
     fit_s = time.time() - t0
 
-    K_test = cross_matrix(test_betas, train_betas)
-    K_imag = cross_matrix(imagery_betas, train_betas)
-    test_preds = np.asarray(dual_ridge_predict(K_test, dual))
-    imagery_preds = np.asarray(dual_ridge_predict(K_imag, dual))
+    test_preds = np.asarray(dual_ridge_predict(cache.K_test, dual))
+    imagery_preds = np.asarray(dual_ridge_predict(cache.K_imag, dual))
     return float(alphas[best_idx]), test_preds, imagery_preds, mean_scores, fit_s
 
 
@@ -145,6 +161,7 @@ def run(cfg: WholeBrainConfig) -> list:
                 train_b, test_b, imag_b = standardize_fmri_betas(train_b, test_b, imag_b)
                 print(f"train fMRI betas shape: {train_b.shape}")
 
+                gram_cache = None  # built lazily, shared across the model sweep
                 for model in cfg.models:
                     feats_config = LatentFeatsConfig(
                         model, cfg.features, cfg.test_features, cfg.vision_features,
@@ -167,9 +184,11 @@ def run(cfg: WholeBrainConfig) -> list:
                         train_lat, test_lat, imag_lat
                     )
 
+                    if gram_cache is None:
+                        gram_cache = GramCache(train_b, test_b, imag_b)
                     best_alpha, test_preds, imag_preds, cv_scores, fit_s = decode_single(
                         train_b, test_b, imag_b, train_lat, test_lat, imag_lat,
-                        cfg.alphas, cfg.n_splits,
+                        cfg.alphas, cfg.n_splits, gram_cache=gram_cache,
                     )
                     print(f"Elapsed time: {int(fit_s)}s | Best alpha: {best_alpha}")
 
