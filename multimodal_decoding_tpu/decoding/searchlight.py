@@ -143,9 +143,13 @@ def run(cfg: SearchlightConfig) -> list:
                     cfg.model, cfg.features, cfg.test_features, cfg.vision_features,
                     cfg.lang_features, verbose=False,
                 )
+                # CV mode stores under alpha_cv (per-vertex alphas live in
+                # the results dict); fixed-alpha runs keep the reference's
+                # alpha_<value> contract (searchlight.py:316-318)
+                alpha_key = "cv" if cfg.alphas_cv is not None else cfg.l2_regularization_alpha
                 results_path = get_results_file_path(
                     feats_config, hemi, subject, training_mode, cfg.resolution,
-                    mode_str, cfg.l2_regularization_alpha, cfg.out_dir,
+                    mode_str, alpha_key, cfg.out_dir,
                 )
                 if os.path.isfile(results_path) and not cfg.overwrite:
                     print(f"Skipping searchlight: results at {results_path}")
