@@ -101,6 +101,12 @@ def run_searchlight(
 
     use_null = shuffles is not None
     use_cv = alphas_cv is not None
+    if use_null and use_cv:
+        raise NotImplementedError(
+            "per-vertex CV combined with null-distribution scoring is not "
+            "supported (the reference's null runs use a fixed alpha, "
+            "searchlight.py:240,345)"
+        )
     if use_null:
         shuffles_d = jax.device_put(jnp.asarray(shuffles, dtype=jnp.int32), rep)
         n_perms = len(shuffles)
