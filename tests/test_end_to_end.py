@@ -184,3 +184,36 @@ def test_nifti_voxel_path(tmp_path, monkeypatch):
     betas, ids, types = get_fmri_data(info["betas_dir"], info["subject"], "train")
     assert betas.shape == (20, 12)
     assert betas.dtype == np.float32
+
+
+def test_multi_model_sweep_shares_gram_cache(dataset, tmp_path, monkeypatch):
+    """The model-independent kernels are computed once per (subject, mask)."""
+    import shutil
+
+    from multimodal_decoding_tpu.decoding import whole_brain as WB
+
+    # second latent model = copy of the first under a new registry name
+    src = os.path.join(dataset["features_dir"], f"{dataset['model']}.p")
+    shutil.copy(src, os.path.join(dataset["features_dir"], "siglip.p"))
+
+    calls = []
+    orig_init = WB.GramCache.__init__
+
+    def counting_init(self, *a, **k):
+        calls.append(1)
+        orig_init(self, *a, **k)
+
+    monkeypatch.setattr(WB.GramCache, "__init__", counting_init)
+
+    cfg = WB.WholeBrainConfig(
+        betas_dir=dataset["betas_dir"], subjects=[dataset["subject"]],
+        models=[dataset["model"], "siglip"], alphas=(1e0, 1e2), surface=True,
+        out_dir=str(tmp_path / "sweep_out"),
+    )
+    results = WB.run(cfg)
+    assert len(results) == 2
+    assert len(calls) == 1  # gram computed once, reused for the second model
+    # identical features -> identical accuracies
+    from multimodal_decoding_tpu.ops import metrics as M
+
+    assert results[0][M.ACC_CAPTIONS] == results[1][M.ACC_CAPTIONS]
