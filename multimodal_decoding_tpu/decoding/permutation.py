@@ -318,6 +318,7 @@ def null_max_tfce_statistics(cfg: PermutationConfig) -> dict:
     and caches to <results>/null_max<hparams>.npz.
     """
     out_dir = permutation_results_dir(cfg)
+    os.makedirs(out_dir, exist_ok=True)
     cache = os.path.join(out_dir, f"null_max{get_hparam_suffix(cfg)}.npz")
     if os.path.isfile(cache):
         z = np.load(cache)
@@ -372,7 +373,6 @@ def null_max_tfce_statistics(cfg: PermutationConfig) -> dict:
                 tfce=tfce_maps,
             )
 
-    os.makedirs(out_dir, exist_ok=True)
     np.savez(cache, null_max=null_max)
     return {"null_max": null_max}
 

@@ -263,6 +263,11 @@ def null_score_block(
     n_cap, n_img = len(cap), len(img)
     n_imag = preds_imag.shape[-2]
 
+    if preds_imag.shape[-2] != 3:
+        raise ValueError(
+            "null scoring uses the reference's 3-element imagery derangements "
+            f"(searchlight.py:35); got {preds_imag.shape[-2]} imagery stimuli"
+        )
     derangements = jnp.asarray(
         [[1, 2, 0], [2, 0, 1]], dtype=jnp.int32
     )  # DERANGEMENTS_THREE_DIMS (searchlight.py:35)

@@ -167,3 +167,27 @@ def test_process_scores_semantics(rng):
     np.testing.assert_allclose(
         out[M.ACC_IMAGES_MOD_SPECIFIC_CAPTIONS][~nan_loc], sc[M.ACC_IMAGES], atol=1e-7
     )
+
+
+def test_keep_null_maps(pipeline_run, tmp_path):
+    """keep_null_maps=True writes the full per-permutation TFCE maps."""
+    import dataclasses
+
+    out, cfg, mesh = pipeline_run
+    cfg2 = dataclasses.replace(
+        cfg, out_dir=str(tmp_path / "perm_full"), keep_null_maps=True
+    )
+    res = PT.null_max_tfce_statistics(cfg2)
+    out_dir = PT.permutation_results_dir(cfg2)
+    suffix = PT.get_hparam_suffix(cfg2)
+    for hemi in ("left", "right"):
+        path = os.path.join(out_dir, f"tfce_null_maps_{hemi}{suffix}.npz")
+        assert os.path.isfile(path)
+        maps = np.load(path)["tfce"]
+        assert maps.shape == (cfg2.n_permutations_group_level, mesh.n_vertices)
+    # max of stored maps reproduces the cached null_max
+    left = np.load(os.path.join(out_dir, f"tfce_null_maps_left{suffix}.npz"))["tfce"]
+    right = np.load(os.path.join(out_dir, f"tfce_null_maps_right{suffix}.npz"))["tfce"]
+    stacked = np.concatenate([left, right], axis=1)
+    ref_max = np.nanmax(np.where(np.isnan(stacked), -np.inf, stacked), axis=1)
+    np.testing.assert_allclose(res["null_max"], ref_max, atol=1e-5)

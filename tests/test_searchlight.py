@@ -191,3 +191,18 @@ def test_runner_sharded_equals_single_device(rng):
     for metric in s8:
         assert s8[metric].shape == (37,)
         np.testing.assert_allclose(s8[metric], s1[metric], atol=1e-6)
+
+
+def test_schur_solver_block_matches_cholesky(rng):
+    Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, adj = make_problem(rng, v=12)
+    layout = E.TestLayout.from_stim_types(stim_types)
+    X_all = np.concatenate([Xtr, Xte, Xim])
+    common = dict(layout=layout, n_train=len(Xtr), n_test=len(Xte))
+    s_chol = E.searchlight_block(X_all, Ytr, Yte, Yim, adj, None, 10.0,
+                                 solver="cholesky", **common)
+    s_schur = E.searchlight_block(X_all, Ytr, Yte, Yim, adj, None, 10.0,
+                                  solver="schur", **common)
+    for m in s_chol:
+        np.testing.assert_allclose(
+            np.asarray(s_chol[m]), np.asarray(s_schur[m]), atol=1e-4
+        )
