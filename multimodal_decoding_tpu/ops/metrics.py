@@ -149,6 +149,26 @@ def cosine_distances(preds: jnp.ndarray, latents: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - sim
 
 
+def euclidean_distances(preds: jnp.ndarray, latents: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean distance matrix via |p|^2 - 2<p,l> + |l|^2 (one MXU matmul)."""
+    p_sq = jnp.sum(preds * preds, axis=-1)[..., :, None]
+    l_sq = jnp.sum(latents * latents, axis=-1)[..., None, :]
+    cross = jnp.matmul(
+        preds, jnp.swapaxes(latents, -1, -2), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.sqrt(jnp.maximum(p_sq - 2.0 * cross + l_sq, 0.0))
+
+
+def get_distance_matrix(predictions, originals, metric: str = "cosine"):
+    """Metric dispatch (parity surface of eval.py:103-104)."""
+    if metric == "cosine":
+        return cosine_distances(jnp.asarray(predictions), jnp.asarray(originals))
+    if metric == "euclidean":
+        return euclidean_distances(jnp.asarray(predictions), jnp.asarray(originals))
+    raise ValueError(f"unsupported distance metric: {metric}")
+
+
 def pairwise_acc_from_dist(dist: jnp.ndarray) -> jnp.ndarray:
     """Fraction of off-diagonal entries beaten by the diagonal.
 
@@ -169,13 +189,14 @@ def pairwise_accuracy(
     predictions: jnp.ndarray,
     standardize_predictions: bool = False,
     standardize_latents: bool = False,
+    metric: str = "cosine",
 ) -> jnp.ndarray:
     """Pairwise 2-AFC accuracy (reference: eval.py:116-123)."""
     if standardize_predictions:
         predictions = standardize(predictions)
     if standardize_latents:
         latents = standardize(latents)
-    return pairwise_acc_from_dist(cosine_distances(predictions, latents))
+    return pairwise_acc_from_dist(get_distance_matrix(predictions, latents, metric))
 
 
 # ---------------------------------------------------------------------------

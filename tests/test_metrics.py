@@ -141,3 +141,16 @@ def test_batched_pairwise_accuracy(rng):
     for v in range(5):
         single = float(M.pairwise_accuracy(latents, preds[v]))
         assert abs(batched[v] - single) < 1e-6
+
+
+def test_euclidean_metric_matches_scipy(rng):
+    latents = rng.randn(20, 8).astype(np.float32)
+    preds = rng.randn(20, 8).astype(np.float32)
+    ours = np.asarray(M.get_distance_matrix(preds, latents, metric="euclidean"))
+    ref = cdist(preds, latents, metric="euclidean")
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    acc_ours = float(M.pairwise_accuracy(latents, preds, metric="euclidean"))
+    diag = ref.diagonal().reshape(-1, 1)
+    acc_ref = (diag < ref).sum() / (ref.size - diag.size)
+    assert abs(acc_ours - acc_ref) < 1e-6

@@ -160,3 +160,35 @@ def test_tfce_native_matches_numpy(mesh, rng):
     ref0 = T.tfce_map_numpy(batch[0], edges, lens, dh=0)
     np.testing.assert_allclose(nat[0], ref0, rtol=1e-4, atol=1e-3)
     assert np.all(nat[1] == 0)
+
+
+@pytest.mark.skipif(not T.native_available(), reason="native lib not built")
+def test_tfce_native_fuzz_many_seeds(mesh):
+    """Property fuzz: random maps across magnitudes/sparsity, native == scipy."""
+    edges, lens = edge_lengths(mesh)
+    for seed in range(8):
+        r = np.random.RandomState(seed)
+        scale = 10.0 ** r.uniform(-2, 2)
+        vals = (r.randn(mesh.n_vertices) * scale + r.uniform(-1, 1) * scale).astype(np.float32)
+        vals[r.rand(mesh.n_vertices) < r.uniform(0, 0.5)] = np.nan
+        ref = T.tfce_map_numpy(vals, edges, lens, dh=0.1 * scale)
+        nat = T.tfce_map_native(vals[None], edges, lens, dh=0.1 * scale)[0]
+        denom = max(float(np.max(np.abs(ref))), 1e-9)
+        assert np.max(np.abs(nat - ref)) / denom < 1e-4, seed
+
+
+@pytest.mark.skipif(not T.native_available(), reason="native lib not built")
+def test_tfce_native_disconnected_and_uniform(mesh):
+    edges, lens = edge_lengths(mesh)
+    v = mesh.n_vertices
+    # all-equal positive values: one giant cluster per threshold level
+    vals = np.full(v, 2.0, dtype=np.float32)
+    ref = T.tfce_map_numpy(vals, edges, lens, dh=0.5)
+    nat = T.tfce_map_native(vals[None], edges, lens, dh=0.5)[0]
+    np.testing.assert_allclose(nat, ref, rtol=1e-5)
+    # no edges at all: every above-threshold vertex is a singleton
+    no_edges = np.zeros((0, 2), dtype=np.int32)
+    vals = np.random.RandomState(0).rand(v).astype(np.float32) * 3
+    ref = T.tfce_map_numpy(vals, no_edges, np.zeros(0), dh=0.3)
+    nat = T.tfce_map_native(vals[None], no_edges, np.zeros(0), dh=0.3)[0]
+    np.testing.assert_allclose(nat, ref, rtol=1e-5, atol=1e-5)
