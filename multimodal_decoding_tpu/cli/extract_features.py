@@ -39,12 +39,20 @@ def main():
         extract_fn = make_gabor_extractor()
         batch_size = args.batch_size or 100
         model_name = "gabor"
+    elif args.model == "moten":
+        from multimodal_decoding_tpu.extraction.motion_energy import (
+            make_motion_energy_extractor,
+        )
+
+        extract_fn = make_motion_energy_extractor()
+        batch_size = args.batch_size or 100
+        model_name = "moten"
     else:
         from multimodal_decoding_tpu.extraction.extractors import REGISTRY, build_extractor
 
         if args.model not in REGISTRY:
             raise SystemExit(
-                f"Unknown model '{args.model}'. Registered: {sorted(REGISTRY)} (+ 'gabor'). "
+                f"Unknown model '{args.model}'. Registered: {sorted(REGISTRY)} (+ 'gabor', 'moten'). "
                 "For models without local weights, use "
                 "extraction.harness.import_external_features."
             )

@@ -189,3 +189,51 @@ def test_flax_clip_extractor_tiny(tmp_path):
     assert v[VISION_CLS_FEAT_KEY].shape == (8,)
     assert v[LANG_CLS_FEAT_KEY].shape == (8,)
     assert np.all(np.isfinite(v[VISION_CLS_FEAT_KEY]))
+
+
+def test_motion_energy_pyramid(tmp_path, rng):
+    from multimodal_decoding_tpu.extraction import motion_energy as ME
+
+    sin_b, cos_b, channels = ME.build_spatial_pyramid(32)
+    assert len(channels) == len(sin_b) == len(cos_b)
+    # DC level has one center/orientation; high sf levels have many positions
+    sfs = [c["sf"] for c in channels]
+    assert sfs.count(0) == 1 and sfs.count(16) > sfs.count(2)
+
+    imgs = rng.rand(3, 32, 32).astype(np.float32) * 255
+    feats = ME.motion_energy_features(imgs, sin_b, cos_b)
+    assert feats.shape == (3, len(channels))
+    assert np.all(feats >= 0) and np.all(np.isfinite(feats))
+
+    # energy is phase-invariant: shifting a grating along its own direction
+    # barely changes the quadrature energy (the defining moten property)
+    x = np.mgrid[0:32, 0:32][1].astype(np.float32)
+    freq = 4 / 32.0
+    g0 = np.sin(2 * np.pi * freq * x)
+    g1 = np.sin(2 * np.pi * freq * x + np.pi / 2)
+    e0 = ME.motion_energy_features(g0[None], sin_b, cos_b)[0]
+    e1 = ME.motion_energy_features(g1[None], sin_b, cos_b)[0]
+    strong = e0 > 0.25 * e0.max()
+    rel = np.abs(e0[strong] - e1[strong]) / e0[strong]
+    assert np.median(rel) < 0.15
+
+    # luminance conversion
+    rgb = rng.randint(0, 255, (4, 4, 3), dtype=np.uint8)
+    lum = ME.rgb_to_luminance(rgb)
+    assert lum.shape == (4, 4)
+    np.testing.assert_allclose(
+        lum[0, 0], 0.299 * rgb[0, 0, 0] + 0.587 * rgb[0, 0, 1] + 0.114 * rgb[0, 0, 2],
+        rtol=1e-5,
+    )
+
+
+def test_motion_energy_extractor(tmp_path):
+    from multimodal_decoding_tpu.extraction.motion_energy import make_motion_energy_extractor
+
+    ds = make_dataset(tmp_path, n=2)
+    extract = make_motion_energy_extractor(img_size=32)
+    feats = run_extraction(extract, "moten", ds, batch_size=2,
+                           out_path=str(tmp_path / "moten.p"), progress=False)
+    v = feats[ds.stimuli_ids[0]]
+    assert v[VISION_CLS_FEAT_KEY].ndim == 1 and len(v[VISION_CLS_FEAT_KEY]) > 50
+    assert np.all(np.isfinite(v[LANG_CLS_FEAT_KEY]))
