@@ -130,3 +130,33 @@ def test_mutual_information():
     assert AT.normalized_mutual_information(x, x) > 1.5
     nmi_indep = AT.normalized_mutual_information(x, rng.randn(5000))
     assert 0.9 < nmi_indep < 1.2
+
+
+def test_comparison_plots(tmp_path, rng):
+    import pandas as pd
+
+    from multimodal_decoding_tpu.viz import comparison_plots as CP
+
+    rows = []
+    for model in ("clip", "vit"):
+        for mode in ("agnostic",):
+            for subj in ("sub-01", "sub-02", "sub-03", "sub-04", "sub-05", "sub-07"):
+                for metric in ("pairwise_acc_captions", "pairwise_acc_images"):
+                    rows.append(dict(model=model, training_mode=mode, subject=subj,
+                                     metric=metric, value=0.5 + 0.3 * rng.rand()))
+    df = pd.DataFrame(rows)
+
+    assert CP.verify_num_datapoints(df, ["clip", "vit"], training_modes=["agnostic"]) == []
+    # wrong count raises
+    bad = df[df.subject != "sub-07"]
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="unexpected number of datapoints"):
+        CP.verify_num_datapoints(bad, ["clip"], training_modes=["agnostic"])
+
+    g = CP.plot_metric(df, order=["clip", "vit"], hue_order=["agnostic"])
+    assert g is not None
+    out = str(tmp_path / "cmp.png")
+    CP.create_result_graph(df, order=["clip", "vit"], hue_order=["agnostic"],
+                           out_path=out)
+    assert os.path.getsize(out) > 1000
