@@ -47,6 +47,8 @@ def plot_metric(data, kind="bar", x_variable="model", order=None,
 
     d = data[data.metric == metric]
     sns.set_style("ticks", {"axes.grid": True})
+    if ax is None:
+        _, ax = plt.subplots()
     if kind == "bar":
         g = sns.barplot(d, x=x_variable, order=order, y="value",
                         hue=hue_variable, hue_order=hue_order, ax=ax)
