@@ -39,8 +39,27 @@ _NATIVE_LIB_PATH = os.path.join(
 _native = None
 
 
+def _build_native() -> bool:
+    """Compile native/libtfce.so from source if a toolchain is available."""
+    import subprocess
+
+    native_dir = os.path.dirname(_NATIVE_LIB_PATH)
+    src = os.path.join(native_dir, "tfce.cpp")
+    if not os.path.isfile(src):
+        return False
+    try:
+        res = subprocess.run(
+            ["make", "-C", native_dir], capture_output=True, timeout=120
+        )
+        return res.returncode == 0 and os.path.isfile(_NATIVE_LIB_PATH)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
 def _load_native():
     global _native
+    if _native is None and not os.path.isfile(_NATIVE_LIB_PATH):
+        _build_native()  # build on first use; falls back to numpy if it fails
     if _native is None and os.path.isfile(_NATIVE_LIB_PATH):
         lib = ctypes.CDLL(_NATIVE_LIB_PATH)
         lib.tfce_batch.restype = ctypes.c_int
