@@ -406,6 +406,58 @@ def searchlight_block_with_null(
     static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits",
                      "solver"),
 )
+def searchlight_block_cv_with_null(
+    X_all,
+    Y_train,
+    Y_test,
+    Y_imag,
+    idx,
+    mask,
+    alphas,
+    shuffles,
+    imagery_derangements,
+    *,
+    layout: TestLayout,
+    n_train: int,
+    n_test: int,
+    n_splits: int = 5,
+    comp_cross: bool = True,
+    precision=HIGHEST,
+    solver: str = "cholesky",
+):
+    """CV block step that also emits the per-shuffle null score family.
+
+    Goes beyond the reference, whose null runs always use a fixed alpha
+    (searchlight.py:240,345): here each vertex's null scores are computed
+    from the decoder refit at that vertex's CV-selected alpha, so the
+    BASELINE "alpha CV" configuration can produce null distributions too.
+    The rank-count reformulation makes the extra shuffles ~free relative to
+    the CV fit itself.
+    """
+    patches = gather_patches(X_all, idx, mask)
+    Xtr = patches[:n_train]
+    Xte = patches[n_train : n_train + n_test]
+    Xim = patches[n_train + n_test :]
+    W, best_alpha, _ = fit_block_cv(Xtr, Y_train, alphas, n_splits,
+                                    precision=precision, solver=solver)
+    preds_test = predict_block(Xte, W, precision=precision)
+    preds_imag = predict_block(Xim, W, precision=precision)
+    main = score_block(
+        preds_test, preds_imag, Y_test, Y_imag, layout, comp_cross_decoding_scores=comp_cross
+    )
+    main = dict(main)
+    main["best_alpha"] = best_alpha
+    null = null_score_block(
+        preds_test, preds_imag, Y_test, Y_imag, layout, shuffles, imagery_derangements
+    )
+    return main, null
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits",
+                     "solver"),
+)
 def searchlight_block_cv(
     X_all,
     Y_train,

@@ -22,6 +22,7 @@ from multimodal_decoding_tpu.decoding.searchlight_engine import (
     TestLayout,
     searchlight_block,
     searchlight_block_cv,
+    searchlight_block_cv_with_null,
     searchlight_block_with_null,
 )
 from multimodal_decoding_tpu.parallel.mesh import (
@@ -39,6 +40,45 @@ def _auto_block_size(n_rows: int, k: int, n_devices: int, budget_bytes: int = 2 
     # round down to a multiple of n_devices (shardability), at least n_devices
     b = max(n_devices, (b // n_devices) * n_devices)
     return int(min(b, 4096))
+
+
+# Live device memory allowed for not-yet-materialised block outputs.  Null
+# mode emits {metric: [B, P]} per block (6 null metrics); at fsaverage7 scale
+# (B=256, P=1000) that is ~6 MB/block, so without a bound the 640-block loop
+# would park ~4 GB of outputs in HBM on top of the replicated X — OOM
+# territory on a 16 GB chip.
+_FLUSH_BUDGET_BYTES = 256 << 20
+_N_NULL_METRICS = 6
+
+
+def _flush_cadence(block_size: int, n_perms: int | None,
+                   budget_bytes: int = _FLUSH_BUDGET_BYTES) -> int:
+    """How many blocks may stay device-resident before a host materialise.
+
+    Main-mode outputs are ~KB/block, so the cadence is only about keeping
+    JAX's async dispatch pipelined (8).  Null-mode outputs are
+    ``block_size * n_perms * 4`` bytes per metric per block; the cadence is
+    sized so pending outputs stay under ``budget_bytes``.
+    """
+    if not n_perms:
+        return 8
+    per_block = block_size * n_perms * 4 * _N_NULL_METRICS
+    return max(1, min(8, budget_bytes // max(per_block, 1)))
+
+
+def _materialize_pending(lists: list[list], n_hosted: int) -> int:
+    """Convert every not-yet-hosted block dict in each list to host numpy.
+
+    ``lists`` are parallel per-block result lists (main, null); entries at
+    index >= n_hosted are device dicts.  Returns the new hosted count.
+    Materialising ALL pending blocks (not just the newest) is what bounds
+    live device memory.
+    """
+    n = max((len(lst) for lst in lists), default=0)
+    for lst in lists:
+        for i in range(min(n_hosted, len(lst)), len(lst)):
+            lst[i] = {k: np.asarray(v) for k, v in lst[i].items()}
+    return n
 
 
 def run_searchlight(
@@ -101,12 +141,10 @@ def run_searchlight(
 
     use_null = shuffles is not None
     use_cv = alphas_cv is not None
-    if use_null and use_cv:
-        raise NotImplementedError(
-            "per-vertex CV combined with null-distribution scoring is not "
-            "supported (the reference's null runs use a fixed alpha, "
-            "searchlight.py:240,345)"
-        )
+    # Note: the reference's null runs always use a fixed alpha
+    # (searchlight.py:240,345); combining CV with null scoring is an
+    # extension so the BASELINE "alpha CV" config can emit null
+    # distributions (searchlight_block_cv_with_null).
     if use_null:
         shuffles_d = jax.device_put(jnp.asarray(shuffles, dtype=jnp.int32), rep)
         n_perms = len(shuffles)
@@ -118,7 +156,8 @@ def run_searchlight(
     # Materialise outputs to host every few blocks: keeps JAX's async dispatch
     # pipelining compute while bounding live device memory (null-mode outputs
     # are [B, P] per metric and would otherwise accumulate on device).
-    flush_every = 8
+    flush_every = _flush_cadence(block_size, n_perms if use_null else None)
+    n_hosted = 0  # results[:n_hosted] (and null_results[:n_hosted]) are host numpy
 
     def _to_host(d):
         return {k: np.asarray(v) for k, v in d.items()}
@@ -132,6 +171,7 @@ def run_searchlight(
         ckpt_done = int(ck["done_blocks"])
         results = list(ck["results"])
         null_results = list(ck["null_results"])
+        n_hosted = len(results)  # checkpointed blocks are already host numpy
         print(f"resuming searchlight from block {ckpt_done + 1}/{n_blocks}")
 
     def _save_ckpt(done):
@@ -156,7 +196,18 @@ def run_searchlight(
         mask_b = (
             jax.device_put(jnp.asarray(mask_padded[sl]), shard) if mask_padded is not None else None
         )
-        if use_cv:
+        if use_cv and use_null:
+            der = jax.random.randint(
+                jax.random.fold_in(rng, b), (block_size, n_perms), 0, 2, dtype=jnp.int32
+            )
+            main, null = searchlight_block_cv_with_null(
+                X_all_d, Y_train_d, Y_test_d, Y_imag_d, idx_b, mask_b,
+                jnp.asarray(alphas_cv, dtype=jnp.float32), shuffles_d, der,
+                layout=layout, n_train=n_train, n_test=n_test, precision=precision,
+            )
+            results.append(main)
+            null_results.append(null)
+        elif use_cv:
             out = searchlight_block_cv(
                 X_all_d, Y_train_d, Y_test_d, Y_imag_d, idx_b, mask_b,
                 jnp.asarray(alphas_cv, dtype=jnp.float32),
@@ -181,9 +232,7 @@ def run_searchlight(
             )
             results.append(out)
         if (b + 1) % flush_every == 0:
-            results[-1] = _to_host(results[-1])
-            if null_results:
-                null_results[-1] = _to_host(null_results[-1])
+            n_hosted = _materialize_pending([results, null_results], n_hosted)
         if checkpoint_every and (b + 1) % checkpoint_every == 0:
             _save_ckpt(b)
         if progress and (b % 10 == 0 or b == n_blocks - 1):
