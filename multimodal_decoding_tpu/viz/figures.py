@@ -34,9 +34,17 @@ def plot_tfce_thresholded_results(
     out_dir: str,
     views=("lateral", "medial"),
     vmax=None,
+    annot_by_hemi: dict | None = None,
+    rois_for_view: dict | None = None,
 ) -> str:
     """t-map masked to TFCE-significant vertices, composite grid
-    (searchlight_plot_results.py:37-296 pattern)."""
+    (searchlight_plot_results.py:37-296 pattern).
+
+    With ``annot_by_hemi`` ({hemi: io.annot.Annotation}, aparc), the panels
+    carry ROI contour overlays like every published figure
+    (searchlight_plot_results.py:208-231); ``rois_for_view`` overrides
+    viz.roi.DEFAULT_ROIS_FOR_VIEW.
+    """
     stat = {}
     for hemi in HEMIS:
         t = np.array(t_values[hemi][metric], dtype=np.float64)
@@ -45,8 +53,46 @@ def plot_tfce_thresholded_results(
         stat[hemi] = t
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{metric}_tfce_thresholded.png")
+    hook = None
+    if annot_by_hemi is not None:
+        from multimodal_decoding_tpu.viz.roi import contour_hook
+
+        hook = contour_hook(annot_by_hemi, rois_for_view)
     plot_views_grid(mesh_by_hemi, stat, views=views, vmax=vmax, out_path=out_path,
-                    title=f"{metric} (TFCE > {tfce_cutoff:.2f})")
+                    title=f"{metric} (TFCE > {tfce_cutoff:.2f})", panel_hook=hook)
+    return out_path
+
+
+def plot_tfce_composite(
+    mesh_by_hemi: dict,
+    tfce_values: dict,
+    metric: str,
+    significance_cutoff: float,
+    out_dir: str,
+    annot_by_hemi: dict | None = None,
+    rois_for_view: dict | None = None,
+    views=("lateral", "medial", "ventral"),
+) -> str:
+    """The published-figure class: TFCE values thresholded at the
+    permutation significance cutoff, positive-only 'hot' colormap, aparc ROI
+    contours per view/hemi (searchlight_plot_results.py:103-231 semantics:
+    result_values = tfce maps, threshold = calc_significance_cutoff,
+    cmap=CMAP_POS_ONLY='hot', cbar_min=0, cbar_max=max across hemis)."""
+    stat = {h: np.asarray(tfce_values[h][metric], dtype=np.float64) for h in HEMIS}
+    vmax = float(np.nanmax(np.concatenate([stat[h] for h in HEMIS])))
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"{metric}_tfce_composite.png")
+    hook = None
+    if annot_by_hemi is not None:
+        from multimodal_decoding_tpu.viz.roi import contour_hook
+
+        hook = contour_hook(annot_by_hemi, rois_for_view)
+    plot_views_grid(
+        mesh_by_hemi, stat, views=views, threshold=significance_cutoff,
+        vmax=vmax, vmin=0.0, cmap="hot", out_path=out_path,
+        title=f"{metric} (TFCE, p-cutoff {significance_cutoff:.1f})",
+        panel_hook=hook,
+    )
     return out_path
 
 

@@ -53,6 +53,7 @@ def plot_surf_stat_map(
     colorbar: bool = True,
     title: str | None = None,
     ax=None,
+    face_reduce: str = "mean",
 ):
     """Render a stat map on the mesh (plot_surf_stat_map_custom parity,
     plotting_utils.py:253-289).
@@ -71,8 +72,11 @@ def plot_surf_stat_map(
     faces = mesh.faces
     coords = mesh.coordinates
 
-    # face values: mean of vertex values (nilearn's stat-map face shading)
-    face_vals = np.nanmean(stat_map[faces], axis=1)
+    # face values: mean of vertex values (nilearn's stat-map face shading);
+    # median for categorical ROI maps (plot_surf_roi_custom's avg_method,
+    # plotting_utils.py:455-456)
+    reduce_fn = np.nanmedian if face_reduce == "median" else np.nanmean
+    face_vals = reduce_fn(stat_map[faces], axis=1)
 
     if vmax is None:
         vmax = np.nanmax(np.abs(face_vals)) if np.any(np.isfinite(face_vals)) else 1.0
@@ -103,6 +107,8 @@ def plot_surf_stat_map(
 
     tris = coords[faces]
     poly = Poly3DCollection(tris, facecolors=colors, linewidths=0)
+    # per-face colour record for ROI contour overlays (viz/roi.py)
+    poly._mmd_face_colors = colors
     ax.add_collection3d(poly)
     span = coords.max(axis=0) - coords.min(axis=0)
     mid = (coords.max(axis=0) + coords.min(axis=0)) / 2
@@ -123,8 +129,14 @@ def plot_surf_stat_map(
 
 
 def plot_views_grid(mesh_by_hemi: dict, stat_by_hemi: dict, views=("lateral", "medial"),
-                    threshold=None, vmax=None, out_path: str | None = None, title=None):
-    """Composite hemisphere x view grid (searchlight_plot_results.py pattern)."""
+                    threshold=None, vmax=None, vmin=None, cmap="cold_hot",
+                    out_path: str | None = None, title=None, panel_hook=None):
+    """Composite hemisphere x view grid (searchlight_plot_results.py pattern).
+
+    ``panel_hook(ax, mesh, hemi, view)`` runs after each panel renders —
+    used for aparc ROI contour overlays (viz/roi.contour_hook), the
+    published-figure pattern (searchlight_plot_results.py:208-231).
+    """
     import matplotlib.pyplot as plt
 
     hemis = list(mesh_by_hemi)
@@ -135,8 +147,11 @@ def plot_views_grid(mesh_by_hemi: dict, stat_by_hemi: dict, views=("lateral", "m
                                  projection="3d")
             plot_surf_stat_map(
                 mesh_by_hemi[hemi], stat_by_hemi[hemi], hemi=hemi, view=view,
-                threshold=threshold, vmax=vmax, colorbar=(j == len(views) - 1), ax=ax,
+                threshold=threshold, vmax=vmax, vmin=vmin, cmap=cmap,
+                colorbar=(j == len(views) - 1), ax=ax,
             )
+            if panel_hook is not None:
+                panel_hook(ax, mesh_by_hemi[hemi], hemi, view)
     if title:
         fig.suptitle(title)
     if out_path:
