@@ -1,11 +1,17 @@
-"""Benchmark: searchlight vertices/sec on real hardware.
+"""Benchmark: alpha-CV searchlight vertices/sec on real hardware.
 
-Measures the BASELINE.json north-star workload — the 750-neighbour surface
-searchlight at ImageBind scale (latent dim 1024) over fsaverage7 vertices —
-on the available accelerator, and compares against the reference's compute
-path (per-vertex sklearn Ridge + scipy scoring) measured on this machine's
-CPU and extrapolated to the reference's documented ``--n-jobs 15`` process
-fan-out (README.md:18-24).
+Measures THE BASELINE.json north-star workload — the 750-neighbour surface
+searchlight with PER-VERTEX ALPHA CROSS-VALIDATION (6 alphas x 5 folds,
+GridSearchCV-parity splits) at ImageBind scale (latent dim 1024) over
+fsaverage7 vertices — on the available accelerator, and compares against the
+reference's compute path (per-vertex sklearn Ridge + GridSearchCV + scipy
+scoring) measured on this machine's CPU and extrapolated to the reference's
+documented ``--n-jobs 15`` process fan-out (README.md:18-24).
+
+Train-set size: the reference never records its N (stimulus counts are
+data-driven, data.py:345-384; SURVEY.md:30 "order of magnitude thousands").
+We bench at N=8192 — double the round-1 4000 and in the upper range of the
+plausible per-subject count — so the gram-cost denominator is conservative.
 
 All benchmark tensors are generated ON DEVICE (jax.random): this dev
 environment reaches its chip through a ~25 MB/s tunnel, which would otherwise
@@ -24,15 +30,21 @@ import time
 
 import numpy as np
 
+ALPHAS = [1e2, 1e3, 1e4, 1e5, 1e6, 1e7]  # ridge_regression_decoding.py:20-21
+N_SPLITS = 5
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def cpu_reference_rate(n_train, k, d, alpha, n_sample=3) -> float:
-    """Single-core sklearn rate (vertices/sec) on the same per-vertex problem."""
+def cpu_reference_rate(n_train, k, d, max_seconds=240.0) -> float:
+    """Single-core sklearn rate (vertices/sec) on the same per-vertex CV
+    problem: GridSearchCV(Ridge, 6 alphas, cv=5) + the full score family."""
     from scipy.spatial.distance import cdist
     from sklearn.linear_model import Ridge
+    from sklearn.metrics import make_scorer
+    from sklearn.model_selection import GridSearchCV
     from sklearn.preprocessing import StandardScaler
 
     rng = np.random.default_rng(0)
@@ -52,21 +64,28 @@ def cpu_reference_rate(n_train, k, d, alpha, n_sample=3) -> float:
         diag = dist.diagonal().reshape(-1, 1)
         return (diag < dist).sum() / (dist.size - diag.size)
 
+    def scorer(y_true, y_pred):
+        dist = cdist(y_pred, y_true, metric="cosine")
+        diag = dist.diagonal().reshape(-1, 1)
+        return (diag < dist).sum() / (dist.size - diag.size)
+
     t0 = time.time()
-    for _ in range(n_sample):
-        model = Ridge(alpha=alpha, fit_intercept=False)
-        model.fit(Xtr, Y_train)
-        pt = model.predict(Xte)
-        pi = model.predict(Xim)
-        acc(Y_test[cap], pt[cap], std=True)
-        acc(Y_test[img], pt[img], std=True)
-        acc(Y_test[img], pt[cap], std=True)
-        acc(Y_test[cap], pt[img], std=True)
-        acc(Y_imag, pi, std=True)
-        acc(np.concatenate((Y_imag, Y_test)), pi, std=True)
-        acc(Y_imag, pi)
-        acc(np.concatenate((Y_imag, Y_test)), pi)
-    return n_sample / (time.time() - t0)
+    clf = GridSearchCV(
+        Ridge(fit_intercept=False), dict(alpha=ALPHAS),
+        scoring=make_scorer(scorer, greater_is_better=True), cv=N_SPLITS, n_jobs=1,
+    )
+    clf.fit(Xtr, Y_train)
+    pt = clf.predict(Xte)
+    pi = clf.predict(Xim)
+    acc(Y_test[cap], pt[cap], std=True)
+    acc(Y_test[img], pt[img], std=True)
+    acc(Y_test[img], pt[cap], std=True)
+    acc(Y_test[cap], pt[img], std=True)
+    acc(Y_imag, pi, std=True)
+    acc(np.concatenate((Y_imag, Y_test)), pi, std=True)
+    acc(Y_imag, pi)
+    acc(np.concatenate((Y_imag, Y_test)), pi)
+    return 1.0 / (time.time() - t0)
 
 
 def main():
@@ -76,7 +95,7 @@ def main():
 
     from multimodal_decoding_tpu.decoding.searchlight_engine import (
         TestLayout,
-        searchlight_block,
+        searchlight_block_cv,
     )
 
     platform = jax.devices()[0].platform
@@ -85,14 +104,15 @@ def main():
 
     # ImageBind-searchlight scale (BASELINE.json config); trimmed on CPU dev runs
     if on_accel:
-        n_train, v_total, k, d, block = 4000, 163842, 750, 1024, 256
-        max_seconds = 120.0
+        n_train, v_total, k, d, block = 8192, 163842, 750, 1024, 128
+        max_seconds = 150.0
+        cpu_n = n_train
     else:
-        n_train, v_total, k, d, block = 200, 2048, 50, 64, 128
+        n_train, v_total, k, d, block = 200, 1024, 50, 64, 64
         max_seconds = 30.0
+        cpu_n = n_train
 
     n_test, n_imag = 140, 3
-    alpha = 1.0
 
     key = jax.random.PRNGKey(0)
     kx, ky1, ky2, ky3 = jax.random.split(key, 4)
@@ -100,8 +120,10 @@ def main():
     Y_train = jax.random.normal(ky1, (n_train, d), dtype=jnp.float32)
     Y_test = jax.random.normal(ky2, (n_test, d), dtype=jnp.float32)
     Y_imag = jax.random.normal(ky3, (n_imag, d), dtype=jnp.float32)
-    X_all.block_until_ready()
-    log(f"on-device data ready: N={n_train}, V={v_total}, K={k}, D={d}")
+    alphas = jnp.asarray(ALPHAS, dtype=jnp.float32)
+    _ = float(X_all[0, 0])  # host readback = real barrier through the relay
+    log(f"on-device data ready: N={n_train}, V={v_total}, K={k}, D={d}, "
+        f"CV={len(ALPHAS)} alphas x {N_SPLITS} folds")
 
     stim_types = np.array(["caption"] * 70 + ["image"] * 70)
     layout = TestLayout.from_stim_types(stim_types)
@@ -114,19 +136,19 @@ def main():
 
     @jax.jit
     def run_block(xa, ytr, yte, yim, start, acc):
-        scores = searchlight_block(
-            xa, ytr, yte, yim, block_idx(start).astype(jnp.int32), None,
-            alpha, layout=layout, n_train=n_train, n_test=n_test,
+        scores = searchlight_block_cv(
+            xa, ytr, yte, yim, block_idx(start).astype(jnp.int32), None, alphas,
+            layout=layout, n_train=n_train, n_test=n_test, n_splits=N_SPLITS,
         )
         # fold the block's scores into a running checksum: chains the blocks
         # and lets a single 4-byte host readback act as a true barrier
         # (block_until_ready is not a reliable sync through relay transports)
         return acc + sum(s.sum() for s in scores.values())
 
-    # compile + warm (host readback = real synchronisation)
+    t_c = time.time()
     checksum = run_block(X_all, Y_train, Y_test, Y_imag, 0, jnp.float32(0.0))
     _ = float(checksum)
-    log("compiled; running timed blocks ...")
+    log(f"compiled in {time.time() - t_c:.0f}s; running timed CV blocks ...")
 
     n_blocks_total = v_total // block
     t0 = time.time()
@@ -135,7 +157,7 @@ def main():
     for b in range(n_blocks_total):
         checksum = run_block(X_all, Y_train, Y_test, Y_imag, b * block, checksum)
         done += 1
-        if done % 40 == 0:
+        if done % 10 == 0:
             _ = float(checksum)  # sync point
             if time.time() - t0 > max_seconds:
                 break
@@ -144,22 +166,24 @@ def main():
     assert np.isfinite(final)
     vertices_done = done * block
     rate = vertices_done / elapsed
-    log(f"searchlight: {vertices_done} vertices in {elapsed:.1f}s -> {rate:.0f} vertices/s "
-        f"(block={block})")
+    log(f"CV searchlight: {vertices_done} vertices in {elapsed:.1f}s -> "
+        f"{rate:.0f} vertices/s (block={block})")
 
-    cpu_rate_1core = cpu_reference_rate(n_train, k, d, alpha)
+    cpu_rate_1core = cpu_reference_rate(cpu_n, k, d)
     cpu_rate_ref = cpu_rate_1core * 15  # reference --n-jobs 15 (README.md:18-24)
-    log(f"sklearn reference: {cpu_rate_1core:.2f} vertices/s single-core "
-        f"-> {cpu_rate_ref:.1f} at n_jobs=15")
+    log(f"sklearn GridSearchCV reference: {cpu_rate_1core:.4f} vertices/s single-core "
+        f"-> {cpu_rate_ref:.3f} at n_jobs=15")
 
     full_subject_s = 2 * 163842 / rate
-    log(f"projected full-subject (2 hemis, single chip) wall-clock: {full_subject_s:.0f}s; "
-        f"target <300s on v5e-8 (8 chips)")
+    log(f"projected full-subject (2 hemis) wall-clock: {full_subject_s:.0f}s single chip "
+        f"-> {full_subject_s / 8:.0f}s on v5e-8 (vertex sharding is collective-free); "
+        f"BASELINE target <300s on v5e-8")
 
     print(json.dumps({
-        "metric": "searchlight_vertices_per_sec",
+        "metric": "searchlight_cv_vertices_per_sec",
         "value": round(float(rate), 2),
-        "unit": "vertices/s (N=4000, K=750, D=1024, f32-highest, incl. scoring)",
+        "unit": (f"vertices/s (N={n_train}, K={k}, D={d}, 6 alphas x 5-fold CV, "
+                 "f32-highest, incl. scoring)"),
         "vs_baseline": round(float(rate / cpu_rate_ref), 2),
     }))
 

@@ -192,6 +192,184 @@ def make_torch_fused_extractor(model, processor) -> Callable:
     return extract
 
 
+def make_flava_extractor(model, processor) -> Callable:
+    """FLAVA: projected+normalized text/image CLS embeds AND the fused
+    multimodal pooler/mean (extract_flava_features.py:34-66).
+
+    The multimodal keys are what distinguishes FLAVA from a plain dual
+    encoder: the reference stores four feature families per stimulus."""
+    import torch
+
+    model.eval()
+
+    def extract(ids, captions, images):
+        inputs = processor(text=list(captions), images=images, return_tensors="pt", padding=True)
+        with torch.no_grad():
+            out = model(**inputs)
+            text_emb = torch.nn.functional.normalize(
+                model.text_projection(out.text_embeddings[:, 0, :]), dim=-1
+            )
+            image_emb = torch.nn.functional.normalize(
+                model.image_projection(out.image_embeddings[:, 0, :]), dim=-1
+            )
+        fused_cls = out.multimodal_output.pooler_output
+        fused_mean = out.multimodal_output.last_hidden_state.mean(dim=1)
+        return {
+            LANG_CLS_FEAT_KEY: text_emb.float().numpy(),
+            VISION_CLS_FEAT_KEY: image_emb.float().numpy(),
+            FUSED_MEAN_FEAT_KEY: fused_mean.float().numpy(),
+            FUSED_CLS_FEAT_KEY: fused_cls.float().numpy(),
+        }
+
+    return extract
+
+
+def make_blip2_extractor(model, processor) -> Callable:
+    """BLIP-2 Q-Former features via transformers' ITM checkpoint components
+    (Blip2ForImageTextRetrieval), reproducing the LAVIS
+    blip2_feature_extractor recipe (extract_blip_features.py:29-45):
+
+    * image mode  -> normalized vision_projection of the 32 query outputs;
+      CLS = query 0  (LAVIS image_embeds_proj[:, 0, :])
+    * text mode   -> normalized text_projection of the text CLS
+    * multimodal  -> qformer over [query_tokens; text] cross-attending the
+      image; fused mean/CLS over the query positions
+    """
+    import torch
+
+    model.eval()
+
+    def extract(ids, captions, images):
+        inputs = processor(
+            text=list(captions), images=images, return_tensors="pt", padding=True
+        )
+        pixel_values = inputs["pixel_values"]
+        input_ids = inputs["input_ids"]
+        attention_mask = inputs.get(
+            "attention_mask", torch.ones_like(input_ids)
+        )
+        with torch.no_grad():
+            image_states = model.vision_model(pixel_values=pixel_values)[0]
+            img_attn = torch.ones(image_states.shape[:-1], dtype=torch.long)
+            query_tokens = model.query_tokens.expand(image_states.shape[0], -1, -1)
+            n_query = query_tokens.shape[1]
+
+            # image mode
+            q_out = model.qformer(
+                query_embeds=query_tokens,
+                encoder_hidden_states=image_states,
+                encoder_attention_mask=img_attn,
+            )[0]
+            image_proj = torch.nn.functional.normalize(
+                model.vision_projection(q_out), dim=-1
+            )
+
+            # text mode
+            text_embeds = model.embeddings(input_ids=input_ids)
+            t_out = model.qformer(
+                query_embeds=text_embeds, query_length=0, attention_mask=attention_mask
+            )[0]
+            text_proj = torch.nn.functional.normalize(
+                model.text_projection(t_out[:, 0, :]), dim=-1
+            )
+
+            # multimodal mode: queries + text attending to the image
+            mm_embeds = model.embeddings(input_ids=input_ids, query_embeds=query_tokens)
+            query_attn = torch.ones(query_tokens.shape[:-1], dtype=torch.long)
+            mm_out = model.qformer(
+                query_embeds=mm_embeds,
+                query_length=n_query,
+                attention_mask=torch.cat([query_attn, attention_mask], dim=1),
+                encoder_hidden_states=image_states,
+                encoder_attention_mask=img_attn,
+            )[0][:, :n_query, :]
+
+        return {
+            LANG_CLS_FEAT_KEY: text_proj.float().numpy(),
+            VISION_CLS_FEAT_KEY: image_proj[:, 0, :].float().numpy(),
+            FUSED_MEAN_FEAT_KEY: mm_out.mean(dim=1).float().numpy(),
+            FUSED_CLS_FEAT_KEY: mm_out[:, 0, :].float().numpy(),
+        }
+
+    return extract
+
+
+def make_paligemma_extractor(model, processor) -> Callable:
+    """PaliGemma: three forward passes — image-only, text-only, fused —
+    pooled from the last hidden states (extract_paligemma_features.py:27-95).
+
+    Faithful quirk: the reference zeroes padding positions but divides by the
+    FULL sequence length (``.mean(dim=1)`` after zeroing), not the mask sum;
+    reproduced here for parity."""
+    import torch
+
+    model.eval()
+    image_token = "<image>"
+
+    def _zero_pad_mean(hidden, mask):
+        hidden = hidden * mask.unsqueeze(-1).to(hidden.dtype)
+        return hidden.mean(dim=1)
+
+    def extract(ids, captions, images):
+        with torch.no_grad():
+            img_inputs = processor(
+                text=[image_token for _ in images], images=images, return_tensors="pt"
+            )
+            h = model(**img_inputs, output_hidden_states=True).hidden_states[-1]
+            vision_cls = h[:, 0]
+            vision_mean = h.mean(dim=1)
+
+            txt_inputs = processor.tokenizer(
+                [f"{processor.tokenizer.bos_token}{c}\n" for c in captions],
+                return_token_type_ids=False, return_tensors="pt", padding=True,
+            )
+            out = model(**txt_inputs, output_hidden_states=True)
+            lang_mean = _zero_pad_mean(
+                out.hidden_states[-1], txt_inputs["attention_mask"]
+            )
+
+            fused_inputs = processor(
+                text=list(captions), images=images, return_tensors="pt", padding=True
+            )
+            out = model(**fused_inputs, output_hidden_states=True)
+            fused_mean = _zero_pad_mean(
+                out.hidden_states[-1], fused_inputs["attention_mask"]
+            )
+
+        return {
+            LANG_MEAN_FEAT_KEY: lang_mean.float().numpy(),
+            VISION_MEAN_FEAT_KEY: vision_mean.float().numpy(),
+            VISION_CLS_FEAT_KEY: vision_cls.float().numpy(),
+            FUSED_MEAN_FEAT_KEY: fused_mean.float().numpy(),
+        }
+
+    return extract
+
+
+def make_torch_lm_extractor(model, tokenizer) -> Callable:
+    """Big-LM pooling on torch CPU — the reference itself runs 7B+ LMs on
+    CPU (extract_base_lm_features.py:63,87-105); same mask-aware mean + CLS
+    recipe as make_lm_extractor."""
+    import torch
+
+    if tokenizer.pad_token is None:
+        tokenizer.pad_token = tokenizer.eos_token
+    model.eval()
+
+    def extract(ids, captions, images):
+        inputs = tokenizer(list(captions), return_tensors="pt", padding=True)
+        with torch.no_grad():
+            h = model(**inputs).last_hidden_state
+        mask = inputs["attention_mask"].unsqueeze(-1).to(h.dtype)
+        mean = (h * mask).sum(dim=1) / mask.sum(dim=1)
+        return {
+            LANG_MEAN_FEAT_KEY: mean.float().numpy(),
+            LANG_CLS_FEAT_KEY: h[:, 0, :].float().numpy(),
+        }
+
+    return extract
+
+
 def make_torch_vision_extractor(model, processor) -> Callable:
     """DINOv2-style vision towers on torch CPU (extract_dino_features.py recipe)."""
     import torch
@@ -218,11 +396,12 @@ def make_torch_vision_extractor(model, processor) -> Callable:
 @dataclass
 class ExtractorSpec:
     hf_name: str
-    builder: Callable  # builder(model, processor) -> extract_fn
-    backend: str  # "flax" | "torch"
+    builder: Callable | None  # builder(model, processor) -> extract_fn
+    backend: str  # "flax" | "torch" | "external"
     batch_size: int  # reference capacity hint
     model_cls: str = ""  # transformers class names for from_pretrained
     processor_cls: str = ""
+    note: str = ""  # provenance / escape-hatch documentation
 
 
 REGISTRY = {
@@ -257,6 +436,14 @@ REGISTRY = {
                                 "FlaxMistralModel", "AutoTokenizer"),
     "llama2-7b": ExtractorSpec("meta-llama/Llama-2-7b-hf", make_lm_extractor, "flax", 5,
                                "FlaxLlamaModel", "AutoTokenizer"),
+    "llama2-13b": ExtractorSpec("meta-llama/Llama-2-13b-hf", make_torch_lm_extractor,
+                                "torch", 5, "LlamaModel", "AutoTokenizer",
+                                note="reference runs 13B on CPU "
+                                     "(extract_base_lm_features.py:87-105)"),
+    "mixtral-8x7b": ExtractorSpec("mistralai/Mixtral-8x7B-v0.1", make_torch_lm_extractor,
+                                  "torch", 5, "MixtralModel", "AutoTokenizer",
+                                  note="reference runs Mixtral on CPU "
+                                       "(extract_base_lm_features.py:63)"),
     # torch-CPU fallback (no Flax weights published)
     "siglip": ExtractorSpec("google/siglip-so400m-patch14-384",
                             make_torch_dual_encoder_extractor, "torch", 128,
@@ -272,8 +459,36 @@ REGISTRY = {
     "bridgetower": ExtractorSpec("BridgeTower/bridgetower-base",
                                  make_torch_fused_extractor, "torch", 32,
                                  "BridgeTowerModel", "BridgeTowerProcessor"),
-    "flava": ExtractorSpec("facebook/flava-full", make_torch_dual_encoder_extractor,
-                           "torch", 100, "FlavaModel", "FlavaProcessor"),
+    "flava": ExtractorSpec("facebook/flava-full", make_flava_extractor,
+                           "torch", 100, "FlavaModel", "FlavaProcessor",
+                           note="emits fused multimodal pooler/mean plus projected "
+                                "text/image CLS (extract_flava_features.py:34-66)"),
+    "blip2": ExtractorSpec("Salesforce/blip2-itm-vit-g", make_blip2_extractor,
+                           "torch", 50, "Blip2ForImageTextRetrieval", "Blip2Processor",
+                           note="LAVIS blip2_feature_extractor recipe rebuilt on the "
+                                "transformers ITM checkpoint (Q-Former image/text/"
+                                "multimodal modes)"),
+    "paligemma2": ExtractorSpec("google/paligemma2-3b-pt-224", make_paligemma_extractor,
+                                "torch", 10, "PaliGemmaForConditionalGeneration",
+                                "PaliGemmaProcessor",
+                                note="three-forward recipe (image-only/text-only/fused); "
+                                     "reference uses 8-bit quantization on GPU — full "
+                                     "precision here"),
+    "visualbert": ExtractorSpec("uclanlp/visualbert-nlvr2-coco-pre", None, "torch", 5,
+                                "VisualBertModel", "AutoTokenizer",
+                                note="two-stage: build via extraction.visualbert."
+                                     "make_visualbert_extractor with cached Mask-RCNN "
+                                     "region features (stage-1 box selection in "
+                                     "extraction/visualbert.py)"),
+    # external-import escape hatches (no transformers/Flax weights exist):
+    # compute features with the upstream repo, then
+    # harness.import_external_features (transform_glow_features.py pattern)
+    "imagebind": ExtractorSpec("imagebind_huge", None, "external", 10,
+                               note="reference vendors ImageBind as a git submodule; "
+                                    "no HF checkpoint — import externally computed "
+                                    "text/vision CLS embeds"),
+    "random-imagebind": ExtractorSpec("imagebind_huge", None, "external", 10,
+                                      note="random-init control variant of imagebind"),
 }
 
 
@@ -287,6 +502,16 @@ def build_extractor(model_name: str, pretrained: bool = True, dtype=None):
     import transformers
 
     spec = REGISTRY[model_name]
+    if spec.backend == "external":
+        raise ValueError(
+            f"'{model_name}' has no in-framework forward pass ({spec.note}); "
+            "compute features with the upstream repo and load them via "
+            "extraction.harness.import_external_features"
+        )
+    if spec.builder is None:
+        raise ValueError(
+            f"'{model_name}' needs a special build path: {spec.note}"
+        )
     model_cls = getattr(transformers, spec.model_cls)
     proc_cls = getattr(transformers, spec.processor_cls)
     processor = proc_cls.from_pretrained(spec.hf_name)

@@ -1,0 +1,138 @@
+"""Multi-host input pipeline: per-host beta shards -> on-device assembly.
+
+The reference loads every beta file in one process (data.py:448-503); on a
+multi-host TPU slice that would funnel ~GBs through a single host NIC and
+replicate the I/O wait across the pod.  Here each host reads only its slice
+of the beta FILES (one stimulus per file — the natural shard granularity),
+places its rows on its local devices as a stimulus-sharded global array, and
+one XLA all-gather (ICI within a slice, DCN across slices) materialises the
+replicated [N, V] matrix the searchlight runner consumes.  No host ever
+holds more than N/n_hosts rows.
+
+Flow (per subject/hemi):
+
+    paths = get_fmri_data_paths(...)                       # metadata only
+    lo, hi = host_shard_bounds(len(paths), process_idx, process_count)
+    local = load_beta_rows(paths[lo:hi])                   # this host's I/O
+    x_rows = global_from_host_shards(local, lo, n, mesh)   # row-sharded
+    X = replicate_rows(x_rows, mesh)                       # all-gather
+
+Validated on the 8-virtual-device CPU mesh (tests/test_multihost.py) by
+treating each device as a "host": shards are placed per device and the
+replication collective is checked against the dense concatenation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_decoding_tpu.io.gifti import read_gifti
+from multimodal_decoding_tpu.parallel.mesh import VERTEX_AXIS
+
+
+def host_shard_bounds(n_rows: int, host_idx: int, n_hosts: int) -> tuple:
+    """Contiguous balanced [lo, hi) stimulus-row range for one host.
+
+    The first ``n_rows % n_hosts`` hosts take one extra row, so every row is
+    owned exactly once for any (n_rows, n_hosts).
+    """
+    if not 0 <= host_idx < n_hosts:
+        raise ValueError(f"host_idx {host_idx} out of range for {n_hosts} hosts")
+    base, extra = divmod(n_rows, n_hosts)
+    lo = host_idx * base + min(host_idx, extra)
+    return lo, lo + base + (1 if host_idx < extra else 0)
+
+
+def load_beta_rows(paths) -> np.ndarray:
+    """Read a shard of surface beta files -> [len(paths), V] float32.
+
+    Same per-file contract as the full loader (data.py:452-455: first darray
+    of each GIfTI), restricted to this host's paths.
+    """
+    return np.array([read_gifti(p).darrays[0].data for p in paths], dtype=np.float32)
+
+
+def global_from_host_shards(
+    local_rows: np.ndarray, row_start: int, n_total: int, mesh: Mesh
+) -> jax.Array:
+    """Assemble a row-sharded global [n_total, V] array from per-host rows.
+
+    Multi-process (real pod): every process passes its own contiguous shard;
+    ``jax.make_array_from_process_local_data`` builds the global array with
+    zero cross-host traffic.  Single-process (tests / one host): the rows are
+    distributed across the mesh's devices so the collective path downstream
+    is identical.
+    """
+    n_dev = mesh.devices.size
+    if n_total % n_dev != 0:
+        raise ValueError(
+            f"n_total={n_total} must be divisible by the {n_dev}-device mesh; "
+            "pad the stimulus axis first (pad_to_multiple)"
+        )
+    sharding = NamedSharding(mesh, P(VERTEX_AXIS))
+    if jax.process_count() > 1:
+        expected = host_shard_bounds(n_total, jax.process_index(), jax.process_count())
+        if (row_start, row_start + len(local_rows)) != expected:
+            raise ValueError(
+                f"process {jax.process_index()} passed rows "
+                f"[{row_start}, {row_start + len(local_rows)}), expected {expected}"
+            )
+        global_shape = (n_total,) + local_rows.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, local_rows, global_shape)
+
+    # single process: emulate hosts at device granularity
+    if len(local_rows) != n_total or row_start != 0:
+        raise ValueError("single-process assembly expects the full row set")
+    per_dev = n_total // n_dev
+    devices = mesh.devices.flatten()
+    shards = [
+        jax.device_put(local_rows[d * per_dev : (d + 1) * per_dev], devices[d])
+        for d in range(n_dev)
+    ]
+    return jax.make_array_from_single_device_arrays(
+        (n_total,) + local_rows.shape[1:], sharding, shards
+    )
+
+
+def replicate_rows(x_row_sharded: jax.Array, mesh: Mesh) -> jax.Array:
+    """Row-sharded [N, V] -> replicated: one XLA all-gather over the mesh.
+
+    Within a v5e slice this rides ICI; across slices XLA routes it over DCN.
+    The result satisfies the searchlight runner's replicated-X contract
+    (searchlight_runner.py device placement).
+    """
+    rep = NamedSharding(mesh, P())
+    return jax.jit(lambda x: x, out_shardings=rep)(x_row_sharded)
+
+
+def distributed_beta_matrix(paths, mesh: Mesh, pad_value: float = 0.0):
+    """End-to-end per-host load + assembly + replication.
+
+    Returns (X_replicated [n_padded, V], n_original).  Rows are padded to a
+    device multiple with ``pad_value`` (padded rows are dropped by callers
+    via the returned count).  In a multi-process run each process only reads
+    its host_shard_bounds slice of ``paths``.
+    """
+    n = len(paths)
+    n_dev = mesh.devices.size
+    n_padded = ((n + n_dev - 1) // n_dev) * n_dev
+    if jax.process_count() > 1:
+        lo, hi = host_shard_bounds(n_padded, jax.process_index(), jax.process_count())
+        rows = load_beta_rows(paths[min(lo, n) : min(hi, n)])
+        n_pad_here = (hi - lo) - len(rows)
+        if n_pad_here:
+            rows = np.concatenate(
+                [rows, np.full((n_pad_here,) + rows.shape[1:], pad_value, rows.dtype)]
+            )
+        x = global_from_host_shards(rows, lo, n_padded, mesh)
+    else:
+        rows = load_beta_rows(paths)
+        if n_padded != n:
+            rows = np.concatenate(
+                [rows, np.full((n_padded - n,) + rows.shape[1:], pad_value, rows.dtype)]
+            )
+        x = global_from_host_shards(rows, 0, n_padded, mesh)
+    return replicate_rows(x, mesh), n

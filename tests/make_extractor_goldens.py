@@ -1,0 +1,131 @@
+"""Generate golden output fixtures for representative extractors.
+
+Zero-egress substitute for recorded pretrained-weight tensors (VERDICT round
+1, next-round #7): seeded tiny random-init models + fixed inputs, with the
+extractor outputs recorded to tests/fixtures/extractor_goldens.npz.  The
+companion test (test_extractor_goldens.py) recomputes and compares, so any
+silent change to a pooling recipe (CLS choice, mask handling, projection,
+normalization) fails the suite.  On a networked host the same harness can be
+pointed at real checkpoints to produce true pretrained goldens
+(extract_clip_features.py:27-30 semantics).
+
+Run:  python tests/make_extractor_goldens.py
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "fixtures", "extractor_goldens.npz")
+
+
+def fixed_text_inputs(n=2, seq=6, vocab=50, np_like=True):
+    rng = np.random.RandomState(42)
+    ids = rng.randint(1, vocab, size=(n, seq)).astype(np.int32)
+    mask = np.ones((n, seq), dtype=np.int32)
+    mask[1, 4:] = 0  # one padded row exercises mask-aware pooling
+    ids[1, 4:] = 0
+    return ids, mask
+
+
+def fixed_pixels(n=2, size=24):
+    rng = np.random.RandomState(43)
+    return rng.rand(n, 3, size, size).astype(np.float32)
+
+
+def compute_all() -> dict:
+    # goldens are a CPU-deterministic reference; recomputation under the test
+    # suite also runs on CPU (conftest), so force the platform here too
+    # (must happen before the first backend use — the axon sitecustomize pins
+    # JAX_PLATFORMS, which plain env vars cannot override)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    out = {}
+
+    # --- Flax CLIP (dual encoder, contrastive embeds) ---------------------
+    from transformers import (
+        BertConfig,
+        CLIPConfig,
+        CLIPTextConfig,
+        CLIPVisionConfig,
+        FlaxBertModel,
+        FlaxCLIPModel,
+    )
+
+    cfg = CLIPConfig.from_text_vision_configs(
+        CLIPTextConfig(vocab_size=50, hidden_size=16, num_hidden_layers=1,
+                       num_attention_heads=2, intermediate_size=32,
+                       max_position_embeddings=16, projection_dim=8),
+        CLIPVisionConfig(hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+                         intermediate_size=32, image_size=24, patch_size=8,
+                         projection_dim=8),
+        projection_dim=8,
+    )
+    clip = FlaxCLIPModel(cfg, seed=0)
+    ids, mask = fixed_text_inputs()
+    o = clip(pixel_values=fixed_pixels(), input_ids=ids, attention_mask=mask)
+    out["clip_text_embeds"] = np.asarray(o.text_embeds)
+    out["clip_image_embeds"] = np.asarray(o.image_embeds)
+
+    # --- Flax BERT (LM pooling recipe) -------------------------------------
+    from multimodal_decoding_tpu.extraction.extractors import masked_mean
+
+    bcfg = BertConfig(vocab_size=50, hidden_size=16, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=32,
+                      max_position_embeddings=32)
+    bert = FlaxBertModel(bcfg, seed=0)
+    h = bert(input_ids=ids, attention_mask=mask).last_hidden_state
+    out["bert_lang_mean"] = np.asarray(masked_mean(h, mask))
+    out["bert_lang_cls"] = np.asarray(h[:, 0, :])
+
+    # --- torch FLAVA (fused multimodal keys) --------------------------------
+    import torch
+    from transformers import FlavaConfig, FlavaModel
+
+    from multimodal_decoding_tpu.config import (
+        FUSED_CLS_FEAT_KEY,
+        FUSED_MEAN_FEAT_KEY,
+        LANG_CLS_FEAT_KEY,
+        VISION_CLS_FEAT_KEY,
+    )
+    from multimodal_decoding_tpu.extraction.extractors import make_flava_extractor
+
+    torch.manual_seed(0)
+    tiny = dict(hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+                intermediate_size=32)
+    fcfg = FlavaConfig(
+        image_config=dict(image_size=24, patch_size=8, **tiny),
+        text_config=dict(vocab_size=50, max_position_embeddings=16, **tiny),
+        multimodal_config=dict(**tiny),
+        hidden_size=16, projection_dim=8,
+    )
+    flava = FlavaModel(fcfg)
+
+    class FixedProcessor:
+        def __call__(self, text=None, images=None, return_tensors="pt", padding=True):
+            return {
+                "input_ids": torch.as_tensor(ids, dtype=torch.long),
+                "attention_mask": torch.as_tensor(mask, dtype=torch.long),
+                "pixel_values": torch.as_tensor(fixed_pixels()),
+            }
+
+    fo = make_flava_extractor(flava, FixedProcessor())([1, 2], ["a", "b"], [None, None])
+    out["flava_lang_cls"] = fo[LANG_CLS_FEAT_KEY]
+    out["flava_vision_cls"] = fo[VISION_CLS_FEAT_KEY]
+    out["flava_fused_mean"] = fo[FUSED_MEAN_FEAT_KEY]
+    out["flava_fused_cls"] = fo[FUSED_CLS_FEAT_KEY]
+    return out
+
+
+if __name__ == "__main__":
+    os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+    arrays = compute_all()
+    np.savez_compressed(FIXTURE, **arrays)
+    print(f"wrote {FIXTURE}:")
+    for k, v in arrays.items():
+        print(f"  {k}: {v.shape} mean={v.mean():+.4f}")
