@@ -1,10 +1,15 @@
 """Whole-brain ridge decode benchmark (second BASELINE north-star metric).
 
-Times the full on-device CV ridge fit at production scale — N=4000 stimuli,
-V=327684 voxels (both hemispheres), D=1024 latents, 6 alphas x 5 folds +
-refit + test/imagery prediction + scoring — and compares against sklearn's
-GridSearchCV path measured on a feature-subsampled problem and scaled
-linearly in V (gram cost is linear in the feature count).
+Times the full on-device CV ridge fit at production scale — N=8192 stimuli
+(reference-scale train set, SURVEY.md:30 "order of magnitude thousands"),
+V=327684 surface vertices (both hemispheres), D=1024 latents, 6 alphas x 5
+folds + refit + test/imagery prediction + scoring — and compares against
+sklearn's GridSearchCV path measured on a feature-subsampled problem and
+scaled linearly in V (gram cost is linear in the feature count).
+
+The dominant cost is the [N, V] x [V, N] gram — 2 N^2 V ~ 44 PFLOP at this
+scale, ~20 min at the f32-HIGHEST MXU rate; X itself is 10.7 GB of HBM (the
+gram contracts the V axis in place, no transpose materialisation).
 
 Run:  python benchmarks/bench_whole_brain.py
 """
@@ -40,8 +45,9 @@ def main():
 
     on_accel = jax.devices()[0].platform != "cpu"
     if on_accel:
-        n, v, d = 4000, 327684, 1024
-        v_cpu = v // 64
+        n = int(os.environ.get("WB_N", "8192"))
+        v, d = 327684, 1024
+        v_cpu = v // 256
     else:
         n, v, d = 300, 4096, 64
         v_cpu = v // 8

@@ -102,13 +102,24 @@ def fit_block_cv(
     n_splits: int = 5,
     precision=HIGHEST,
     solver: str = "cholesky",
+    cv_precision=None,
+    cv_solver: str | None = None,
 ):
     """Per-vertex alpha selection via K-fold CV (sklearn-split parity).
 
     Returns (W [B, K, D] refit at each vertex's best alpha, best_alpha [B],
     cv_scores [B, n_alphas]).  Fold grams are computed as differences from
     the full gram, so the 5-fold sweep costs ~2 gram passes instead of 5.
+
+    ``cv_precision``/``cv_solver`` apply ONLY to the alpha-SELECTION path
+    (fold grams, per-alpha solves, validation predictions and scoring) —
+    its sole parity obligation is a stable argmax over 6 alphas, so it can
+    run at DEFAULT precision with the MXU-native schur solver while the
+    final refit keeps ``precision``/``solver`` for BASELINE 1e-4 accuracy
+    parity.  Defaults (None) inherit the strict settings.
     """
+    cv_precision = precision if cv_precision is None else cv_precision
+    cv_solver = solver if cv_solver is None else cv_solver
     n = X_train_g.shape[0]
     Kdim = X_train_g.shape[-1]
     folds = kfold_indices(n, n_splits)
@@ -127,21 +138,25 @@ def fit_block_cv(
         Xv = X_train_g[val_idx]  # [nv, B, K]
         Yv = Y_train[val_idx]
         G_val = jnp.einsum(
-            "nbk,nbl->bkl", Xv, Xv, preferred_element_type=jnp.float32, precision=precision
+            "nbk,nbl->bkl", Xv, Xv, preferred_element_type=jnp.float32,
+            precision=cv_precision,
         )
         XtY_val = jnp.einsum(
-            "nbk,nd->bkd", Xv, Yv, preferred_element_type=jnp.float32, precision=precision
+            "nbk,nd->bkd", Xv, Yv, preferred_element_type=jnp.float32,
+            precision=cv_precision,
         )
         G_tr = G_full - G_val
         XtY_tr = XtY_full - XtY_val
 
         def one_alpha(alpha):
-            W = spd_solve(G_tr + alpha * eye, XtY_tr, method=solver,
-                          precision=precision)  # [B, K, D]
+            W = spd_solve(G_tr + alpha * eye, XtY_tr, method=cv_solver,
+                          precision=cv_precision)  # [B, K, D]
             preds = jnp.einsum(
-                "nbk,bkd->bnd", Xv, W, preferred_element_type=jnp.float32, precision=precision
+                "nbk,bkd->bnd", Xv, W, preferred_element_type=jnp.float32,
+                precision=cv_precision,
             )
-            return M.pairwise_accuracy(Yv, preds)  # [B]
+            dist = M.cosine_distances(preds, Yv, precision=cv_precision)
+            return M.pairwise_acc_from_dist(dist)  # [B]
 
         return jax.lax.map(one_alpha, alphas)  # [A, B]
 
@@ -404,7 +419,7 @@ def searchlight_block_with_null(
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits",
-                     "solver"),
+                     "solver", "cv_precision", "cv_solver"),
 )
 def searchlight_block_cv_with_null(
     X_all,
@@ -424,6 +439,8 @@ def searchlight_block_cv_with_null(
     comp_cross: bool = True,
     precision=HIGHEST,
     solver: str = "cholesky",
+    cv_precision=None,
+    cv_solver: str | None = None,
 ):
     """CV block step that also emits the per-shuffle null score family.
 
@@ -439,7 +456,8 @@ def searchlight_block_cv_with_null(
     Xte = patches[n_train : n_train + n_test]
     Xim = patches[n_train + n_test :]
     W, best_alpha, _ = fit_block_cv(Xtr, Y_train, alphas, n_splits,
-                                    precision=precision, solver=solver)
+                                    precision=precision, solver=solver,
+                                    cv_precision=cv_precision, cv_solver=cv_solver)
     preds_test = predict_block(Xte, W, precision=precision)
     preds_imag = predict_block(Xim, W, precision=precision)
     main = score_block(
@@ -456,7 +474,7 @@ def searchlight_block_cv_with_null(
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits",
-                     "solver"),
+                     "solver", "cv_precision", "cv_solver"),
 )
 def searchlight_block_cv(
     X_all,
@@ -474,6 +492,8 @@ def searchlight_block_cv(
     comp_cross: bool = True,
     precision=HIGHEST,
     solver: str = "cholesky",
+    cv_precision=None,
+    cv_solver: str | None = None,
 ):
     """Block step with per-vertex CV alpha selection (BASELINE searchlight config)."""
     patches = gather_patches(X_all, idx, mask)
@@ -481,7 +501,9 @@ def searchlight_block_cv(
     Xte = patches[n_train : n_train + n_test]
     Xim = patches[n_train + n_test :]
     W, best_alpha, cv_scores = fit_block_cv(Xtr, Y_train, alphas, n_splits,
-                                            precision=precision, solver=solver)
+                                            precision=precision, solver=solver,
+                                            cv_precision=cv_precision,
+                                            cv_solver=cv_solver)
     preds_test = predict_block(Xte, W, precision=precision)
     preds_imag = predict_block(Xim, W, precision=precision)
     scores = score_block(

@@ -135,17 +135,20 @@ def fit_standardizer(x: jnp.ndarray, axis: int = -2):
     return mean, scale
 
 
-def cosine_distances(preds: jnp.ndarray, latents: jnp.ndarray) -> jnp.ndarray:
+def cosine_distances(preds: jnp.ndarray, latents: jnp.ndarray,
+                     precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Cosine distance matrix ``1 - <p, l> / (|p||l|)``.
 
     Equivalent to ``scipy.spatial.distance.cdist(preds, latents, 'cosine')``
     (eval.py:103-104) but expressed as a single MXU matmul after row
     normalisation.  Supports arbitrary leading batch axes on either operand
-    (they broadcast).
+    (they broadcast).  ``precision`` defaults to HIGHEST (parity); the CV
+    selection path passes a cheaper one.
     """
     p = preds / jnp.linalg.norm(preds, axis=-1, keepdims=True)
     l = latents / jnp.linalg.norm(latents, axis=-1, keepdims=True)
-    sim = jnp.matmul(p, jnp.swapaxes(l, -1, -2), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    sim = jnp.matmul(p, jnp.swapaxes(l, -1, -2), preferred_element_type=jnp.float32,
+                     precision=precision)
     return 1.0 - sim
 
 

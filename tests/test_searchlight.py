@@ -175,6 +175,30 @@ def test_cv_block_selects_per_vertex_alpha(rng):
         assert float(scores["best_alpha"][v]) == pytest.approx(clf.best_params_["alpha"])
 
 
+def test_cv_fast_path_matches_strict(rng):
+    """cv_precision=DEFAULT + cv_solver=schur selects the same alphas and
+    produces the same final scores as the strict cholesky path (the refit
+    itself always runs at the strict settings)."""
+    import jax
+
+    Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, adj = make_problem(rng, v=6, k=5, n_train=50)
+    W = rng.randn(6, 5)
+    Ytr = (Xtr @ W + 0.7 * rng.randn(50, 5)).astype(np.float32)
+    layout = E.TestLayout.from_stim_types(stim_types)
+    X_all = np.concatenate([Xtr, Xte, Xim])
+    alphas = np.asarray([1e-1, 1e1, 1e3], dtype=np.float32)
+    common = dict(layout=layout, n_train=len(Xtr), n_test=len(Xte))
+
+    strict = E.searchlight_block_cv(X_all, Ytr, Yte, Yim, adj, None, alphas, **common)
+    fast = E.searchlight_block_cv(
+        X_all, Ytr, Yte, Yim, adj, None, alphas,
+        cv_precision=jax.lax.Precision.DEFAULT, cv_solver="schur", **common,
+    )
+    np.testing.assert_array_equal(fast["best_alpha"], strict["best_alpha"])
+    for m in strict:
+        np.testing.assert_allclose(fast[m], strict[m], atol=1e-5, err_msg=m)
+
+
 def test_runner_sharded_equals_single_device(rng):
     Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, adj = make_problem(rng, v=37)  # odd V: padding
     kwargs = dict(alpha=2.0, block_size=16, progress=False)
