@@ -191,3 +191,30 @@ def test_keep_null_maps(pipeline_run, tmp_path):
     stacked = np.concatenate([left, right], axis=1)
     ref_max = np.nanmax(np.where(np.isnan(stacked), -np.inf, stacked), axis=1)
     np.testing.assert_allclose(res["null_max"], ref_max, atol=1e-5)
+
+
+def test_figure_cli_composition_from_pipeline(pipeline_run, tmp_path):
+    """plot_results CLI core: pipeline artifacts -> TFCE composite with ROI
+    contours (searchlight_plot_results.py figure class)."""
+    from multimodal_decoding_tpu.io.annot import Annotation
+    from multimodal_decoding_tpu.viz.figures import plot_tfce_composite
+
+    out, cfg, mesh = pipeline_run
+    stats = PT.calc_test_statistics(cfg)  # idempotent cache hit
+
+    z = mesh.coordinates[:, 2]
+    idx = np.digitize(z, np.quantile(z, [0.34, 0.67]))
+    colors = np.array([[25, 5, 25], [60, 20, 220], [220, 60, 20]], dtype=np.int64)
+    packed = colors[:, 0] + colors[:, 1] * 256 + colors[:, 2] * 65536
+    annot = Annotation(labels=packed[idx], names=["unknown", "regA", "regB"],
+                       ctab=np.column_stack([colors, np.zeros(3, np.int64), packed]))
+
+    path = plot_tfce_composite(
+        {"left": mesh, "right": mesh}, stats["tfce_values"], cfg.metric,
+        stats["significance_cutoff"], str(tmp_path),
+        annot_by_hemi={"left": annot, "right": annot},
+        rois_for_view={"left": {"lateral": ["regA"], "medial": ["regB"]},
+                       "right": {"lateral": ["regA"], "medial": []}},
+        views=("lateral", "medial"),
+    )
+    assert os.path.getsize(path) > 1000
