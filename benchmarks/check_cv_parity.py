@@ -26,6 +26,8 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=8)
+    ap.add_argument("--cv-solver", type=str, default="schur",
+                    help="fast-path solver to validate against strict")
     args = ap.parse_args()
 
     import jax
@@ -71,7 +73,7 @@ def main():
     max_score_delta = 0.0
     for b in range(args.blocks):
         start = b * block
-        fast = run(jax.lax.Precision.DEFAULT, "schur", start)
+        fast = run(jax.lax.Precision.DEFAULT, args.cv_solver, start)
         strict = run(None, None, start)
         a_fast = np.asarray(fast["best_alpha"])
         a_strict = np.asarray(strict["best_alpha"])

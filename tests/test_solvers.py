@@ -44,3 +44,32 @@ def test_schur_solver_in_searchlight_regime(rng):
     x = np.asarray(spd_solve(A, B, method="schur", precision=None or __import__("jax").lax.Precision.HIGHEST))
     rel = np.abs(x - ref).max() / np.abs(ref).max()
     assert rel < 5e-3, rel
+
+
+def test_new_solver_methods_agree(rng):
+    """schur-cb / tri-inv match cholesky to f32 accuracy; bf16 variants are
+    within their documented tolerance bands across the reference alpha range."""
+    X = rng.randn(600, 64).astype(np.float32)
+    G = (X.T @ X).astype(np.float32)
+    B = rng.randn(64, 9).astype(np.float32)
+    for alpha in (1e-1, 1e2, 1e5):
+        A = (G + alpha * np.eye(64, dtype=np.float32))[None]
+        ref = np.asarray(spd_solve(A, B[None], method="cholesky"))
+        scale = np.abs(ref).max()
+        for method, tol in (("schur-cb", 5e-5), ("tri-inv", 5e-5),
+                            ("schur-cb16", 2e-2), ("schur-cb16-ns", 2e-4)):
+            got = np.asarray(spd_solve(A, B[None], method=method))
+            rel = np.abs(got - ref).max() / scale
+            assert rel < tol, (method, alpha, rel)
+
+
+def test_tri_lower_inverse_blocked(rng):
+    from multimodal_decoding_tpu.ops.solvers import tri_lower_inverse
+
+    A = _spd(rng, 2, 150)
+    L = np.linalg.cholesky(A)
+    L_inv = np.asarray(tri_lower_inverse(L, base=48))
+    eye = np.einsum("bij,bjk->bik", L, L_inv)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(150), eye.shape), atol=2e-3)
+    # strictly lower-triangular output
+    assert np.allclose(np.triu(L_inv, 1), 0.0, atol=1e-6)
