@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--blocks", type=int, default=8)
     ap.add_argument("--cv-solver", type=str, default="schur",
                     help="fast-path solver to validate against strict")
+    ap.add_argument("--cv-scorer", type=str, default="xla")
     args = ap.parse_args()
 
     import jax
@@ -59,13 +60,13 @@ def main():
     layout = TestLayout.from_stim_types(np.array(["caption"] * 70 + ["image"] * 70))
     log(f"data ready: N={n_train}, K={k}, D={d}, planted signal")
 
-    def run(cv_precision, cv_solver, start):
+    def run(cv_precision, cv_solver, start, cv_scorer="xla"):
         idx = ((start + jnp.arange(block)[:, None] + jnp.arange(k)[None, :]) % v_total
                ).astype(jnp.int32)
         return searchlight_block_cv(
             X_all, Y_train, Y_test, Y_imag, idx, None, alphas,
             layout=layout, n_train=n_train, n_test=n_test,
-            cv_precision=cv_precision, cv_solver=cv_solver,
+            cv_precision=cv_precision, cv_solver=cv_solver, cv_scorer=cv_scorer,
         )
 
     agree = 0
@@ -73,7 +74,8 @@ def main():
     max_score_delta = 0.0
     for b in range(args.blocks):
         start = b * block
-        fast = run(jax.lax.Precision.DEFAULT, args.cv_solver, start)
+        fast = run(jax.lax.Precision.DEFAULT, args.cv_solver, start,
+                   cv_scorer=args.cv_scorer)
         strict = run(None, None, start)
         a_fast = np.asarray(fast["best_alpha"])
         a_strict = np.asarray(strict["best_alpha"])

@@ -31,7 +31,8 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=8)
-    ap.add_argument("--solver", choices=["cholesky", "schur"], default="schur")
+    ap.add_argument("--solver", type=str, default="schur-cb",
+                    help="any ops/solvers.spd_solve method")
     ap.add_argument("--stages", type=str, default="123456")
     args = ap.parse_args()
 

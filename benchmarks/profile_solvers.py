@@ -79,6 +79,26 @@ def main():
         w, v = jnp.linalg.eigh(a)
         return w.sum() + v.sum()
 
+    def pallas64(a, rhs):
+        from multimodal_decoding_tpu.ops.pallas_solvers import blocked_spd_inverse
+
+        return jnp.matmul(blocked_spd_inverse(a, panel=64, precision=DEF), rhs,
+                          precision=DEF).sum()
+
+    def pallas128(a, rhs):
+        from multimodal_decoding_tpu.ops.pallas_solvers import blocked_spd_inverse
+
+        return jnp.matmul(blocked_spd_inverse(a, panel=128, precision=DEF), rhs,
+                          precision=DEF).sum()
+
+    def schur_pallas(a, rhs):
+        return SV.spd_solve(a, rhs, method="schur-pallas", precision=DEF).sum()
+
+    def schur_pallas375(a, rhs):
+        return jnp.matmul(SV.schur_spd_inverse(a, base=375, precision=DEF,
+                                               base_method="pallas"),
+                          rhs, precision=DEF).sum()
+
     def schur_cb16(a, rhs):
         return SV.spd_solve(a, rhs, method="schur-cb16", precision=DEF).sum()
 
@@ -107,7 +127,9 @@ def main():
              "schur-cb": schur_cb, "tri-inv": tri_inv, "eigh": eigh_only,
              "schur-cb-256": schur_cb_256, "schur-cb-384": schur_cb_384,
              "schur-cb-x6": schur_cb_x6,
-             "schur-cb16": schur_cb16, "schur-cb16-ns": schur_cb16_ns}
+             "schur-cb16": schur_cb16, "schur-cb16-ns": schur_cb16_ns,
+             "pallas64": pallas64, "pallas128": pallas128,
+             "schur-pallas": schur_pallas, "schur-pallas-375": schur_pallas375}
 
     for name in args.which.split(","):
         fn = cands[name]

@@ -104,6 +104,7 @@ def fit_block_cv(
     solver: str = "cholesky",
     cv_precision=None,
     cv_solver: str | None = None,
+    cv_scorer: str = "xla",
 ):
     """Per-vertex alpha selection via K-fold CV (sklearn-split parity).
 
@@ -117,6 +118,10 @@ def fit_block_cv(
     run at DEFAULT precision with the MXU-native schur solver while the
     final refit keeps ``precision``/``solver`` for BASELINE 1e-4 accuracy
     parity.  Defaults (None) inherit the strict settings.
+
+    ``cv_scorer="pallas"`` scores the validation folds with the streaming
+    pairwise-accuracy kernel (ops/pallas_metrics.py) instead of
+    materialising [B, nv, nv] distance matrices.
     """
     cv_precision = precision if cv_precision is None else cv_precision
     cv_solver = solver if cv_solver is None else cv_solver
@@ -155,6 +160,12 @@ def fit_block_cv(
                 "nbk,bkd->bnd", Xv, W, preferred_element_type=jnp.float32,
                 precision=cv_precision,
             )
+            if cv_scorer == "pallas":
+                from multimodal_decoding_tpu.ops.pallas_metrics import (
+                    streamed_pairwise_acc,
+                )
+
+                return streamed_pairwise_acc(preds, Yv, precision=cv_precision)
             dist = M.cosine_distances(preds, Yv, precision=cv_precision)
             return M.pairwise_acc_from_dist(dist)  # [B]
 
@@ -419,7 +430,7 @@ def searchlight_block_with_null(
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits",
-                     "solver", "cv_precision", "cv_solver"),
+                     "solver", "cv_precision", "cv_solver", "cv_scorer"),
 )
 def searchlight_block_cv_with_null(
     X_all,
@@ -441,6 +452,7 @@ def searchlight_block_cv_with_null(
     solver: str = "cholesky",
     cv_precision=None,
     cv_solver: str | None = None,
+    cv_scorer: str = "xla",
 ):
     """CV block step that also emits the per-shuffle null score family.
 
@@ -457,7 +469,8 @@ def searchlight_block_cv_with_null(
     Xim = patches[n_train + n_test :]
     W, best_alpha, _ = fit_block_cv(Xtr, Y_train, alphas, n_splits,
                                     precision=precision, solver=solver,
-                                    cv_precision=cv_precision, cv_solver=cv_solver)
+                                    cv_precision=cv_precision, cv_solver=cv_solver,
+                                    cv_scorer=cv_scorer)
     preds_test = predict_block(Xte, W, precision=precision)
     preds_imag = predict_block(Xim, W, precision=precision)
     main = score_block(
@@ -474,7 +487,7 @@ def searchlight_block_cv_with_null(
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits",
-                     "solver", "cv_precision", "cv_solver"),
+                     "solver", "cv_precision", "cv_solver", "cv_scorer"),
 )
 def searchlight_block_cv(
     X_all,
@@ -494,6 +507,7 @@ def searchlight_block_cv(
     solver: str = "cholesky",
     cv_precision=None,
     cv_solver: str | None = None,
+    cv_scorer: str = "xla",
 ):
     """Block step with per-vertex CV alpha selection (BASELINE searchlight config)."""
     patches = gather_patches(X_all, idx, mask)
@@ -503,7 +517,7 @@ def searchlight_block_cv(
     W, best_alpha, cv_scores = fit_block_cv(Xtr, Y_train, alphas, n_splits,
                                             precision=precision, solver=solver,
                                             cv_precision=cv_precision,
-                                            cv_solver=cv_solver)
+                                            cv_solver=cv_solver, cv_scorer=cv_scorer)
     preds_test = predict_block(Xte, W, precision=precision)
     preds_imag = predict_block(Xim, W, precision=precision)
     scores = score_block(

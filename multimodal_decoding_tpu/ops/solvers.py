@@ -40,6 +40,12 @@ def _base_inverse(A: jnp.ndarray, method: str) -> jnp.ndarray:
         )
         return jnp.matmul(jnp.swapaxes(L_inv, -1, -2), L_inv,
                           preferred_element_type=jnp.float32)
+    if method == "pallas":
+        from multimodal_decoding_tpu.ops.pallas_solvers import chol_inv_panel
+
+        L_inv = chol_inv_panel(A.astype(jnp.float32))
+        return jnp.matmul(jnp.swapaxes(L_inv, -1, -2), L_inv,
+                          preferred_element_type=jnp.float32)
     raise ValueError(f"unknown base inverse method: {method}")
 
 
@@ -154,4 +160,15 @@ def spd_solve(A: jnp.ndarray, B: jnp.ndarray, method: str = "cholesky",
         return _matmul(inv / scale, B, precision)
     if method == "tri-inv":
         return _matmul(spd_inverse_via_tri(A, precision=precision), B, precision)
+    if method == "pallas":
+        from multimodal_decoding_tpu.ops.pallas_solvers import blocked_spd_inverse
+
+        return _matmul(blocked_spd_inverse(A, precision=precision), B, precision)
+    if method == "schur-pallas":
+        # XLA Schur recursion for the big GEMMs, Pallas batched chol-inverse
+        # kernel at the (large) base blocks: the two measured winners fused
+        return _matmul(
+            schur_spd_inverse(A, base=192, precision=precision, base_method="pallas"),
+            B, precision,
+        )
     raise ValueError(f"unknown SPD solver: {method}")

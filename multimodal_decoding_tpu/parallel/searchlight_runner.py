@@ -101,6 +101,7 @@ def run_searchlight(
     precision=jax.lax.Precision.HIGHEST,
     cv_precision=None,
     cv_solver: str | None = None,
+    cv_scorer: str = "xla",
     progress: bool = True,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 64,
@@ -206,7 +207,7 @@ def run_searchlight(
                 X_all_d, Y_train_d, Y_test_d, Y_imag_d, idx_b, mask_b,
                 jnp.asarray(alphas_cv, dtype=jnp.float32), shuffles_d, der,
                 layout=layout, n_train=n_train, n_test=n_test, precision=precision,
-                cv_precision=cv_precision, cv_solver=cv_solver,
+                cv_precision=cv_precision, cv_solver=cv_solver, cv_scorer=cv_scorer,
             )
             results.append(main)
             null_results.append(null)
@@ -215,7 +216,7 @@ def run_searchlight(
                 X_all_d, Y_train_d, Y_test_d, Y_imag_d, idx_b, mask_b,
                 jnp.asarray(alphas_cv, dtype=jnp.float32),
                 layout=layout, n_train=n_train, n_test=n_test, precision=precision,
-                cv_precision=cv_precision, cv_solver=cv_solver,
+                cv_precision=cv_precision, cv_solver=cv_solver, cv_scorer=cv_scorer,
             )
             results.append(out)
         elif use_null:
