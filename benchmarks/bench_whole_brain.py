@@ -67,14 +67,20 @@ def main():
 
     # full pipeline, timed end-to-end with a host readback barrier
     t0 = time.time()
+    # contract the V axis in place (einsum): an explicit X.T would
+    # materialise a second 10.7 GB transpose and OOM the 16 GB chip
     gram = jax.jit(
-        lambda a: jnp.matmul(a, a.T, preferred_element_type=jnp.float32,
+        lambda a: jnp.einsum("nv,mv->nm", a, a, preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
+    )
+    cross = jax.jit(
+        lambda q, a: jnp.einsum("qv,nv->qn", q, a, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
     )
     K = gram(X)
     best_idx, mean_scores, dual = ridge_cv_dual(K, np.asarray(Y), alphas, n_splits=5)
-    Kq = jnp.matmul(X_test, X.T, precision=jax.lax.Precision.HIGHEST)
-    Ki = jnp.matmul(X_imag, X.T, precision=jax.lax.Precision.HIGHEST)
+    Kq = cross(X_test, X)
+    Ki = cross(X_imag, X)
     preds = np.asarray(dual_ridge_predict(Kq, dual))
     preds_imag = np.asarray(dual_ridge_predict(Ki, dual))
     elapsed = time.time() - t0

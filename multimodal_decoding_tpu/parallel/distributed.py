@@ -89,6 +89,40 @@ def sharded_searchlight_step(mesh: Mesh, layout: TestLayout, n_train: int, n_tes
     return jax.jit(fn)
 
 
+def sharded_searchlight_cv_step(mesh: Mesh, layout: TestLayout, n_train: int,
+                                n_test: int, alphas):
+    """Vertex-sharded alpha-CV searchlight block (the BASELINE config).
+
+    Selection runs at DEFAULT precision with the XLA schur-cb inverse
+    (collective-free inside shard_map); refit stays HIGHEST cholesky.
+    """
+    from multimodal_decoding_tpu.decoding.searchlight_engine import fit_block_cv
+
+    alphas_arr = jnp.asarray(alphas, dtype=jnp.float32)
+
+    def local_step(X_all, Y_train, Y_test, Y_imag, idx):
+        patches = gather_patches(X_all, idx)
+        Xtr = patches[:n_train]
+        Xte = patches[n_train : n_train + n_test]
+        Xim = patches[n_train + n_test :]
+        W, best_alpha, _ = fit_block_cv(
+            Xtr, Y_train, alphas_arr,
+            cv_precision=jax.lax.Precision.DEFAULT, cv_solver="schur-cb",
+        )
+        scores = score_block(
+            predict_block(Xte, W), predict_block(Xim, W), Y_test, Y_imag, layout
+        )
+        return dict(scores, best_alpha=best_alpha)
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("v", None)),
+        out_specs=P("v"),
+    )
+    return jax.jit(fn)
+
+
 def multichip_training_step(mesh_v: Mesh, mesh_f: Mesh):
     """One full 'training step' of the framework across a mesh.
 
@@ -123,10 +157,34 @@ def multichip_training_step(mesh_v: Mesh, mesh_f: Mesh):
     Y_imag = rng.randn(n_imag, d).astype(np.float32)
     idx = np.stack([rng.choice(v, size=k, replace=False) for _ in range(v)]).astype(np.int32)
 
+    # input pipeline: rows arrive as per-host shards and are replicated by
+    # one all-gather (parallel/multihost.py), not by a host broadcast
+    from multimodal_decoding_tpu.parallel.multihost import (
+        global_from_host_shards,
+        replicate_rows,
+    )
+
+    n_rows = n_train + n_test + n_imag
+    pad_rows = (-n_rows) % n_dev
+    X_padded = np.concatenate(
+        [X_all, np.zeros((pad_rows, v), np.float32)]) if pad_rows else X_all
+    x_row_sharded = global_from_host_shards(X_padded, 0, len(X_padded), mesh_v)
+    X_all_rep = replicate_rows(x_row_sharded, mesh_v)[:n_rows]
+
     step = sharded_searchlight_step(mesh_v, layout, n_train, n_test, alpha=1.0)
     idx_sharded = jax.device_put(idx, NamedSharding(mesh_v, P("v", None)))
     scores = step(
-        jax.device_put(jnp.asarray(X_all), NamedSharding(mesh_v, P())),
+        X_all_rep,
         jnp.asarray(Y_train), jnp.asarray(Y_test), jnp.asarray(Y_imag), idx_sharded,
     )
+
+    # (3) vertex-sharded alpha-CV block (the BASELINE searchlight config)
+    cv_step = sharded_searchlight_cv_step(
+        mesh_v, layout, n_train, n_test, alphas=[1e-1, 1e1, 1e3]
+    )
+    cv_scores = cv_step(
+        X_all_rep,
+        jnp.asarray(Y_train), jnp.asarray(Y_test), jnp.asarray(Y_imag), idx_sharded,
+    )
+    scores = dict(scores, **{f"cv_{m}": s for m, s in cv_scores.items()})
     return np.asarray(preds_wb), {m: np.asarray(s) for m, s in scores.items()}
