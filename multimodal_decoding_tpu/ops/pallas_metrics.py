@@ -7,15 +7,21 @@ The accuracy only needs ``count(sim_ij < sim_ii)``, so this kernel streams
 similarity TILES through VMEM and reduces them to per-row counts on the fly,
 flash-attention style: the [nv, nv] matrix never exists.
 
-STATUS: EXPERIMENTAL — interpret-mode exact, but NOT selection-parity-safe
-on TPU at DEFAULT precision (measured: 28.9% alpha agreement): the kernel's
-diagonal is computed in exact f32 while the off-diagonal similarities carry
-bf16 MXU rounding, so near-tie comparisons flip; the XLA path is consistent
-because diagonal and off-diagonals come from the SAME GEMM.  It also loses
-~5% wall-clock to per-grid-step re-DMA of the constant latent block.  Fix
-plan (round 3): take the diagonal from the sim tiles themselves and pin the
-latents in VMEM across grid steps.  Until then cv_scorer="xla" stays the
-default everywhere.
+Status: selection-parity-validated on device (512/512 alpha agreement,
+final-score delta 0.0) but measured at 140 v/s in the CV block vs 146 v/s
+for the XLA scorer — the constant-index latent block is re-DMA'd on every
+grid step (~2.8 GB per (fold, alpha)), which eats the saving from not
+materialising the distance matrix.  cv_scorer="xla" therefore stays the
+default; this kernel wins when HBM capacity (not bandwidth) binds, or once
+the latent block is pinned resident.
+
+Rounding-consistency note (learned the hard way): an earlier version
+computed the diagonal in exact f32 on the XLA side while the kernel's
+similarity tiles carried bf16 MXU rounding — near-tie comparisons flipped
+and on-device alpha agreement collapsed to 29%.  The kernel therefore
+extracts each row's diagonal FROM ITS OWN SIM TILE (every tile holds all
+NV columns), so diagonal and off-diagonals share the exact same GEMM
+rounding — the same property that makes the XLA path self-consistent.
 """
 
 from __future__ import annotations
@@ -24,23 +30,32 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _count_kernel(p_ref, y_ref, diag_ref, out_ref, *, nv: int, precision):
-    """One (vertex-tile, row-tile) step: counts[b, i] = #{j < nv: sim_ij < sim_ii}."""
+def _count_kernel(p_ref, y_ref, out_ref, *, nv: int, ti: int, precision):
+    """One (vertex-tile, row-tile) step: counts[b, i] = #{j < nv: sim_ij < sim_ii}.
+
+    The diagonal sim_ii is pulled out of the tile itself: row r of row-tile
+    t corresponds to global row t*TI + r, and the tile holds all NV columns.
+    """
     sim = jax.lax.dot_general(
         p_ref[:], y_ref[:],
         dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )  # [BT, TI, NV_pad]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sim.shape[-1]), 2)
-    # diag/out ride as [.., TI, 1] blocks (TPU block rule: the last two dims
+    t = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, ti, sim.shape[-1]), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ti, sim.shape[-1]), 2)
+    diag = jnp.sum(jnp.where(col == row + t * ti, sim, 0.0),
+                   axis=-1, keepdims=True)  # [BT, TI, 1]
+    # out rides as [.., TI, 1] blocks (TPU block rule: the last two dims
     # must be (8k, 128m) or the full array dims — a trailing 1 qualifies)
-    beaten = jnp.logical_and(sim < diag_ref[:], col < nv)
+    beaten = jnp.logical_and(sim < diag, col < nv)
     out_ref[:] = jnp.sum(beaten.astype(jnp.float32), axis=-1, keepdims=True)
 
 
@@ -53,7 +68,6 @@ def streamed_pairwise_acc(preds: jnp.ndarray, latents: jnp.ndarray,
     Equivalent to ``pairwise_acc_from_dist(cosine_distances(preds, latents))``
     without materialising the distance matrix.
     """
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
@@ -62,14 +76,12 @@ def streamed_pairwise_acc(preds: jnp.ndarray, latents: jnp.ndarray,
 
     p = preds / jnp.linalg.norm(preds, axis=-1, keepdims=True)
     y = latents / jnp.linalg.norm(latents, axis=-1, keepdims=True)
-    diag = jnp.sum(p * y[None], axis=-1)  # [B, nv]
 
     ti = 128
     nv_pad = _round_up(nv, ti)
     d_pad = _round_up(d, 128)
     p = jnp.pad(p, ((0, 0), (0, nv_pad - nv), (0, d_pad - d)))
     y = jnp.pad(y, ((0, nv_pad - nv), (0, d_pad - d)))
-    diag = jnp.pad(diag, ((0, 0), (0, nv_pad - nv)))
 
     # tile the vertex batch so (P tile + Y + sim tile) stays under VMEM
     bt = 4
@@ -77,21 +89,19 @@ def streamed_pairwise_acc(preds: jnp.ndarray, latents: jnp.ndarray,
         bt -= 1
 
     counts = pl.pallas_call(
-        functools.partial(_count_kernel, nv=nv, precision=precision),
+        functools.partial(_count_kernel, nv=nv, ti=ti, precision=precision),
         grid=(b // bt, nv_pad // ti),
         in_specs=[
             pl.BlockSpec((bt, ti, d_pad), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nv_pad, d_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, ti, 1), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bt, ti, 1), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nv_pad, 1), jnp.float32),
         interpret=interpret,
-    )(p, y, diag[..., None])
+    )(p, y)
 
     total = jnp.sum(counts[:, :nv, 0], axis=-1)
     return total / (nv * nv - nv)
