@@ -38,7 +38,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def cpu_reference_rate(n_train, k, d, max_seconds=240.0) -> float:
+def cpu_reference_rate(n_train, k, d) -> float:
     """Single-core sklearn rate (vertices/sec) on the same per-vertex CV
     problem: GridSearchCV(Ridge, 6 alphas, cv=5) + the full score family."""
     from scipy.spatial.distance import cdist

@@ -121,7 +121,13 @@ def distributed_beta_matrix(paths, mesh: Mesh, pad_value: float = 0.0):
     n_padded = ((n + n_dev - 1) // n_dev) * n_dev
     if jax.process_count() > 1:
         lo, hi = host_shard_bounds(n_padded, jax.process_index(), jax.process_count())
-        rows = load_beta_rows(paths[min(lo, n) : min(hi, n)])
+        if min(hi, n) <= lo:
+            raise ValueError(
+                f"host {jax.process_index()} owns only padding rows "
+                f"([{lo}, {hi}) of {n} real) — more hosts than beta files; "
+                "reduce process count or shard a larger file set"
+            )
+        rows = load_beta_rows(paths[lo : min(hi, n)])
         n_pad_here = (hi - lo) - len(rows)
         if n_pad_here:
             rows = np.concatenate(

@@ -206,9 +206,19 @@ def contour_hook(annot_by_hemi: dict, rois_for_view: dict | None = None,
         if annot is None or not rois:
             return
         names = [n.decode() if isinstance(n, bytes) else n for n in annot.names]
-        levels = [names.index(r) for r in rois if r in names]
-        overlay_roi_contours(
-            ax, mesh, annot.label_map(), levels, colors=[color] * len(levels)
-        )
+        label_map = annot.label_map()
+        for roi in rois:
+            if roi not in names:
+                continue
+            try:
+                overlay_roi_contours(ax, mesh, label_map, [names.index(roi)],
+                                     colors=[color])
+            except ValueError as e:
+                # a degenerate ROI (isolated vertices on this mesh) must not
+                # kill the whole composite figure
+                import warnings
+
+                warnings.warn(f"skipping ROI contour '{roi}' ({hemi}/{view}): {e}",
+                              stacklevel=2)
 
     return hook
