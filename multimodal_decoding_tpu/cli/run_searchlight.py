@@ -68,6 +68,10 @@ def get_args():
                         help="bfloat16 storage + single-pass MXU (~2-4x faster; "
                              "accuracy deviations ~1e-2, cf. the reference's "
                              "float16 inputs)")
+    parser.add_argument("--strict-cv", action="store_true", default=False,
+                        help="run CV alpha selection at f32-HIGHEST cholesky "
+                             "instead of the fast path (3.3x slower; the fast "
+                             "path is parity-exact, check_cv_parity.py)")
     return parser.parse_args()
 
 
@@ -97,6 +101,7 @@ def main():
         out_dir=args.out_dir,
         overwrite=args.overwrite,
         fast_math=args.fast_math,
+        fast_cv=not args.strict_cv,
     )
     run(cfg)
 

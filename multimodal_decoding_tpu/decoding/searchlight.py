@@ -100,6 +100,12 @@ class SearchlightConfig:
     # fast-math mode: bfloat16 storage + single-pass MXU (the reference uses
     # float16 inputs, searchlight.py:247-248; parity mode is f32 + HIGHEST)
     fast_math: bool = False
+    # CV-selection fast path (alphas_cv mode only): alpha selection at
+    # DEFAULT precision with the Pallas-base Schur inverse; the refit stays
+    # f32-HIGHEST cholesky.  On-device parity vs the strict path is exact
+    # (benchmarks/check_cv_parity.py: 768/768 agreement, zero final-score
+    # delta) and it is 3.3x faster, so it defaults on.
+    fast_cv: bool = True
 
 
 def build_adjacency(coords, nan_locations=None, radius=None, n_neighbors=None):
@@ -204,6 +210,10 @@ def run(cfg: SearchlightConfig) -> list:
                     dtype=_np.dtype("bfloat16") if cfg.fast_math else _np.float32,
                     precision=_jax.lax.Precision.DEFAULT if cfg.fast_math
                     else _jax.lax.Precision.HIGHEST,
+                    cv_precision=(_jax.lax.Precision.DEFAULT
+                                  if cfg.fast_cv and cfg.alphas_cv is not None else None),
+                    cv_solver=("schur-pallas"
+                               if cfg.fast_cv and cfg.alphas_cv is not None else None),
                     checkpoint_path=results_path + ".ckpt.npz",
                 )
                 print(f"Searchlight time: {int(time.time() - t0)}s "
