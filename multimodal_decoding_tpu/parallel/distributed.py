@@ -123,6 +123,27 @@ def sharded_searchlight_cv_step(mesh: Mesh, layout: TestLayout, n_train: int,
     return jax.jit(fn)
 
 
+def sharded_null_t_maps(scores, permutations, popmean: float, mesh: Mesh):
+    """Group-permutation null t-maps with the PERMUTATION axis sharded.
+
+    The reference fans 10k permutations out over joblib processes writing
+    HDF5 shards (permutation_testing.py:452-556); here each device computes
+    its slice of the [P_group, V] t-map tensor from replicated per-subject
+    scores — collective-free until the implicit output all-gather.
+    ``permutations`` length must be divisible by the mesh size (pad with
+    repeats and slice, or chunk upstream like decoding/permutation.py does).
+    """
+    from multimodal_decoding_tpu.ops.stats import null_t_maps
+
+    def local(scores_rep, perms_local):
+        return null_t_maps(scores_rep, perms_local, popmean)
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(), P("v", None)), out_specs=P("v", None)
+    )
+    return jax.jit(fn)(jnp.asarray(scores), jnp.asarray(permutations))
+
+
 def multichip_training_step(mesh_v: Mesh, mesh_f: Mesh):
     """One full 'training step' of the framework across a mesh.
 

@@ -90,3 +90,19 @@ def test_replicated_rows_feed_searchlight_runner(tmp_path, rng):
     got, _ = run_searchlight(**p2, alpha=1.0, block_size=8, progress=False, mesh=mesh)
     for m in ref:
         np.testing.assert_allclose(got[m], ref[m], atol=1e-6)
+
+
+def test_sharded_null_t_maps_matches_single_device(rng):
+    """Permutation axis sharded over the 8-device mesh == unsharded t-maps."""
+    from multimodal_decoding_tpu.ops.stats import group_permutations, null_t_maps
+    from multimodal_decoding_tpu.parallel.distributed import sharded_null_t_maps
+
+    s, p_subj, v = 5, 7, 30
+    scores = rng.randn(s, p_subj, v).astype(np.float32) * 0.05 + 0.5
+    perms = group_permutations(p_subj, s, 16)  # divisible by the 8-dev mesh
+
+    ref = np.asarray(null_t_maps(scores, perms, popmean=0.5))
+    mesh = vertex_mesh()
+    got = np.asarray(sharded_null_t_maps(scores, perms, 0.5, mesh))
+    assert got.shape == (16, v)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
