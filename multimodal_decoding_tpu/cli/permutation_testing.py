@@ -26,6 +26,13 @@ from multimodal_decoding_tpu.decoding.permutation import PermutationConfig, run
 from multimodal_decoding_tpu.io.surface import edge_lengths, read_freesurfer_geometry
 
 
+def _alpha_key(value: str):
+    """Argparse type: a float alpha or the literal 'cv' (alpha-CV artifacts)."""
+    if value == "cv":
+        return value
+    return float(value)
+
+
 def add_searchlight_permutation_args(parser):
     """Shared parser builder (parity: permutation_testing.py:616-650)."""
     parser.add_argument("--subjects", type=str, nargs="+", default=SUBJECTS)
@@ -45,7 +52,9 @@ def add_searchlight_permutation_args(parser):
     parser.add_argument("--mod-specific-captions-features", type=str, default=SELECT_DEFAULT)
     parser.add_argument("--mod-specific-captions-test-features", type=str,
                         default=SELECT_DEFAULT)
-    parser.add_argument("--l2-regularization-alpha", type=float, default=1)
+    parser.add_argument("--l2-regularization-alpha", type=_alpha_key, default=1,
+                        help="fixed alpha of the searchlight run, or 'cv' for "
+                             "per-vertex alpha-CV artifacts (alpha_cv.p)")
     parser.add_argument("--resolution", type=str, default=DEFAULT_RESOLUTION)
     parser.add_argument("--radius", type=float, default=None)
     parser.add_argument("--n-neighbors", type=int, default=None)

@@ -153,7 +153,9 @@ class PermutationConfig:
     mod_specific_captions_model: str = DEFAULT_MODEL
     mod_specific_captions_features: str = SELECT_DEFAULT
     mod_specific_captions_test_features: str = SELECT_DEFAULT
-    l2_regularization_alpha: float = 1.0
+    # fixed alpha of the searchlight artifacts, or the string "cv" for
+    # per-vertex alpha-CV runs (their results live under alpha_cv.p)
+    l2_regularization_alpha: float | str = 1.0
     resolution: str = DEFAULT_RESOLUTION
     radius: float | None = None
     n_neighbors: int | None = None

@@ -66,9 +66,9 @@ def fit_block(X_train_g: jnp.ndarray, Y_train: jnp.ndarray, alpha, precision=HIG
 
     X_train_g [N, B, K], Y_train [N, D] -> W [B, K, D].
     Replaces estimator.fit per vertex (searchlight.py:56).  ``solver`` picks
-    the batched SPD backend (ops/solvers.py): "cholesky" (parity default) or
-    "schur" (MXU-native inverse, faster on TPU where triangular solves are
-    the bottleneck).
+    the batched SPD backend (ops/solvers.py): "cholesky" (final-score parity
+    default) through "schur-pallas" (fastest, 3x; can flip 1/6-granularity
+    imagery ties vs cholesky — see docs/PERF_NOTES.md round-2 notes).
     """
     G = jnp.einsum(
         "nbk,nbl->bkl", X_train_g, X_train_g, preferred_element_type=jnp.float32,

@@ -130,7 +130,12 @@ def spd_solve(A: jnp.ndarray, B: jnp.ndarray, method: str = "cholesky",
     method="cholesky": jax.scipy cho_factor/cho_solve (exact-parity default).
     method="schur": recursive-Schur MXU inverse + GEMM.
     method="schur-cb": schur with Cholesky-inverse base blocks (no LU).
+    method="schur-cb16"/"schur-cb16-ns": bf16-storage recursion, optionally
+      with one f32 Newton-Schulz refinement step (selection-grade).
     method="tri-inv": one Cholesky + blocked GEMM triangular inverse + GEMMs.
+    method="pallas": Pallas panel-kernel blocked inverse (ops/pallas_solvers).
+    method="schur-pallas": XLA Schur recursion with Pallas base blocks — the
+      measured fastest on TPU (benchmarks/profile_solvers.py).
     """
     if method == "cholesky":
         cho = jax.scipy.linalg.cho_factor(A, lower=True)

@@ -218,3 +218,53 @@ def test_figure_cli_composition_from_pipeline(pipeline_run, tmp_path):
         views=("lateral", "medial"),
     )
     assert os.path.getsize(path) > 1000
+
+
+def test_cv_artifacts_feed_permutation_pipeline(tmp_path, monkeypatch):
+    """alpha-CV searchlight results (alpha_cv.p) drive the full group-stats
+    pipeline via l2_regularization_alpha='cv' (round-2 contract extension)."""
+    mesh = icosphere(subdivisions=1, radius=50.0)
+    subjects = ["sub-01", "sub-02", "sub-03"]
+    for i, subj in enumerate(subjects):
+        make_synthetic_dataset(
+            str(tmp_path), subject=subj, n_train=40, n_vertices=mesh.n_vertices,
+            latent_dim=6, surface=True, beta_seed=200 + i, n_nan_vertices=1,
+        )
+    monkeypatch.setattr(config, "FMRI_STIM_INFO_DIR", str(tmp_path / "stim_info"))
+    monkeypatch.setattr(config, "LATENT_FEATURES_DIR", str(tmp_path / "nn_features"))
+    monkeypatch.setattr(config, "BETAS_CACHE_DIR", str(tmp_path / "cache"))
+    from multimodal_decoding_tpu.data.features import _load_feature_pickle
+
+    _load_feature_pickle.cache_clear()
+    from multimodal_decoding_tpu.decoding.searchlight import SearchlightConfig, run
+
+    coords = {"left": mesh.coordinates, "right": mesh.coordinates}
+    sl_out = str(tmp_path / "searchlight")
+    for mode in ["agnostic", "images", "captions"]:
+        run(SearchlightConfig(
+            betas_dir=os.path.join(str(tmp_path), "betas", "surface"),
+            mesh_coords=coords, model="clip", subjects=subjects,
+            training_modes=[mode], n_neighbors=6,
+            alphas_cv=[0.5, 50.0],  # per-vertex CV -> alpha_cv.p artifacts
+            create_null_distr=True, n_permutations_per_subject=4,
+            out_dir=sl_out, progress=False, block_size=8,
+        ))
+    # artifact contract: results live under alpha_cv.p
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(sl_out, "**", "alpha_cv.p"), recursive=True)
+
+    edges, lens = edge_lengths(mesh)
+    pcfg = PT.PermutationConfig(
+        subjects=subjects, model="clip",
+        mod_specific_images_model="clip", mod_specific_captions_model="clip",
+        n_neighbors=6, l2_regularization_alpha="cv",
+        n_permutations_group_level=10, p_value_threshold=0.2,
+        edges_by_hemi={"left": (edges, lens), "right": (edges, lens)},
+        searchlight_out_dir=sl_out, out_dir=str(tmp_path / "permutation"),
+        null_chunk=8,
+    )
+    out = PT.run(pcfg)
+    stats = out["stats"] if "stats" in out else out
+    assert np.isfinite(stats["significance_cutoff"])
+    _load_feature_pickle.cache_clear()
