@@ -46,6 +46,9 @@ def get_args():
     parser.add_argument("--surface", action="store_true", default=False)
     parser.add_argument("--resolution", default=DEFAULT_RESOLUTION)
     parser.add_argument("--masks", nargs="+", type=str, default=[None])
+    parser.add_argument("--multichip", action="store_true", default=False,
+                        help="feature-shard the gram/query kernels over all "
+                             "local devices (tensor parallel)")
     parser.add_argument("--overwrite", action="store_true", default=False)
     parser.add_argument("--out-dir", type=str, default=RIDGE_DECODER_OUT_DIR)
     return parser.parse_args()
@@ -69,6 +72,7 @@ def main():
         masks=args.masks,
         overwrite=args.overwrite,
         out_dir=args.out_dir,
+        mesh="auto" if args.multichip else None,
     )
     run(cfg)
 

@@ -86,6 +86,9 @@ class WholeBrainConfig:
     masks: list = field(default_factory=lambda: [None])
     overwrite: bool = False
     out_dir: str = RIDGE_DECODER_OUT_DIR
+    # feature-sharded kernels over a device mesh (tensor parallel): None =
+    # single device; "auto" = all local devices (parallel.mesh.feature_mesh)
+    mesh: object = None
 
 
 class GramCache:
@@ -97,11 +100,11 @@ class GramCache:
     single expensive [N, V]-contraction across all models.
     """
 
-    def __init__(self, train_betas, test_betas, imagery_betas):
+    def __init__(self, train_betas, test_betas, imagery_betas, mesh=None):
         t0 = time.time()
-        self.K = gram_matrix(train_betas)
-        self.K_test = cross_matrix(test_betas, train_betas)
-        self.K_imag = cross_matrix(imagery_betas, train_betas)
+        self.K = gram_matrix(train_betas, mesh=mesh)
+        self.K_test = cross_matrix(test_betas, train_betas, mesh=mesh)
+        self.K_imag = cross_matrix(imagery_betas, train_betas, mesh=mesh)
         self.gram_seconds = time.time() - t0
 
 
@@ -185,7 +188,12 @@ def run(cfg: WholeBrainConfig) -> list:
                     )
 
                     if gram_cache is None:
-                        gram_cache = GramCache(train_b, test_b, imag_b)
+                        mesh = cfg.mesh
+                        if mesh == "auto":
+                            from multimodal_decoding_tpu.parallel.mesh import feature_mesh
+
+                            mesh = feature_mesh()
+                        gram_cache = GramCache(train_b, test_b, imag_b, mesh=mesh)
                     best_alpha, test_preds, imag_preds, cv_scores, fit_s = decode_single(
                         train_b, test_b, imag_b, train_lat, test_lat, imag_lat,
                         cfg.alphas, cfg.n_splits, gram_cache=gram_cache,

@@ -77,13 +77,29 @@ def ridge_predict(X: jnp.ndarray, W: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def gram_matrix(X: np.ndarray, block_cols: int = 16384, out_sharding=None) -> jax.Array:
+def _feature_sharded(xc: jnp.ndarray, mesh) -> jax.Array:
+    """Place a [n, F_block] column block with the feature axis sharded."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    f = xc.shape[1]
+    n_dev = mesh.devices.size
+    pad = (-f) % n_dev
+    if pad:
+        xc = jnp.pad(xc, ((0, 0), (0, pad)))  # zero cols contribute nothing
+    return jax.device_put(xc, NamedSharding(mesh, P(None, mesh.axis_names[0])))
+
+
+def gram_matrix(X: np.ndarray, block_cols: int = 16384, mesh=None) -> jax.Array:
     """K = X X^T streamed over feature blocks (host -> device).
 
     The full X (e.g. [9k, 327k] f32 ~ 12 GB) need not fit on device: each
     block is transferred, multiplied on the MXU at full f32 precision, and
     accumulated.  Replaces the reference's in-RAM sklearn gram
     (ridge_regression_decoding.py:123 via sklearn's _solve_cholesky_kernel).
+
+    With a ``mesh`` (1-D, feature axis — parallel.mesh.feature_mesh), each
+    block is sharded over the devices and GSPMD inserts the psum: the
+    tensor-parallel whole-brain gram (SURVEY.md §2b row 2).
     """
     n, f = X.shape
 
@@ -96,6 +112,8 @@ def gram_matrix(X: np.ndarray, block_cols: int = 16384, out_sharding=None) -> ja
     k = jnp.zeros((n, n), dtype=jnp.float32)
     for start in range(0, f, block_cols):
         xc = jnp.asarray(X[:, start : start + block_cols], dtype=jnp.float32)
+        if mesh is not None:
+            xc = _feature_sharded(xc, mesh)
         k = acc(k, xc)
     return k
 
@@ -112,8 +130,9 @@ def dual_ridge_predict(K_query: jnp.ndarray, dual_coef: jnp.ndarray) -> jnp.ndar
     return jnp.matmul(K_query, dual_coef, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
 
-def cross_matrix(X_query: np.ndarray, X_train: np.ndarray, block_cols: int = 16384) -> jax.Array:
-    """K_query = Xq X^T streamed over feature blocks."""
+def cross_matrix(X_query: np.ndarray, X_train: np.ndarray, block_cols: int = 16384,
+                 mesh=None) -> jax.Array:
+    """K_query = Xq X^T streamed over feature blocks (optionally feature-sharded)."""
     m, f = X_query.shape
 
     @jax.jit
@@ -126,6 +145,9 @@ def cross_matrix(X_query: np.ndarray, X_train: np.ndarray, block_cols: int = 163
     for start in range(0, f, block_cols):
         xq = jnp.asarray(X_query[:, start : start + block_cols], dtype=jnp.float32)
         xt = jnp.asarray(X_train[:, start : start + block_cols], dtype=jnp.float32)
+        if mesh is not None:
+            xq = _feature_sharded(xq, mesh)
+            xt = _feature_sharded(xt, mesh)
         k = acc(k, xq, xt)
     return k
 

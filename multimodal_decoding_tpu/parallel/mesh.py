@@ -28,6 +28,12 @@ def vertex_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (VERTEX_AXIS,))
 
 
+def feature_mesh(devices=None) -> Mesh:
+    """1-D mesh over the voxel/feature axis (whole-brain gram sharding)."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (FEATURE_AXIS,))
+
+
 def shard_vertices(mesh: Mesh) -> NamedSharding:
     """[B, ...] arrays sharded along the leading (vertex-block) axis."""
     return NamedSharding(mesh, P(VERTEX_AXIS))

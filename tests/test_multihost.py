@@ -106,3 +106,20 @@ def test_sharded_null_t_maps_matches_single_device(rng):
     got = np.asarray(sharded_null_t_maps(scores, perms, 0.5, mesh))
     assert got.shape == (16, v)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_feature_sharded_gram_cache_matches_single_device(rng):
+    """Whole-brain kernels with the feature axis sharded over the 8-dev mesh
+    equal the single-device computation (tensor-parallel gram)."""
+    from multimodal_decoding_tpu.decoding.whole_brain import GramCache
+    from multimodal_decoding_tpu.parallel.mesh import feature_mesh
+
+    n, f = 20, 53  # f not divisible by 8: exercises the zero-pad path
+    Xtr = rng.randn(n, f).astype(np.float32)
+    Xte = rng.randn(7, f).astype(np.float32)
+    Xim = rng.randn(3, f).astype(np.float32)
+    ref = GramCache(Xtr, Xte, Xim)
+    got = GramCache(Xtr, Xte, Xim, mesh=feature_mesh())
+    np.testing.assert_allclose(np.asarray(got.K), np.asarray(ref.K), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.K_test), np.asarray(ref.K_test), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.K_imag), np.asarray(ref.K_imag), atol=1e-4)
