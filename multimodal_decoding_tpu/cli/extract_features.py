@@ -26,6 +26,10 @@ def get_args():
     parser.add_argument("--stim-info-path", type=str, default=None)
     parser.add_argument("--coco-root", type=str, default=None)
     parser.add_argument("--out-path", type=str, default=None)
+    parser.add_argument("--region-features", type=str, default=None,
+                        help="visualbert only: pickle of cached Mask-RCNN "
+                             "region features {stim_id: [n_boxes, 1024]} "
+                             "(stage 1, extraction/visualbert.py)")
     return parser.parse_args()
 
 
@@ -47,6 +51,30 @@ def main():
         extract_fn = make_motion_energy_extractor()
         batch_size = args.batch_size or 100
         model_name = "moten"
+    elif args.model == "visualbert":
+        import pickle
+
+        import transformers
+
+        from multimodal_decoding_tpu.extraction.extractors import REGISTRY
+        from multimodal_decoding_tpu.extraction.visualbert import (
+            make_visualbert_extractor,
+        )
+
+        if not args.region_features:
+            raise SystemExit(
+                "visualbert is two-stage: run the Mask-RCNN stage on a host "
+                "with a detector (extraction/visualbert.extract_region_features) "
+                "and pass the cache via --region-features"
+            )
+        spec = REGISTRY["visualbert"]
+        model = transformers.VisualBertModel.from_pretrained(spec.hf_name)
+        tokenizer = transformers.AutoTokenizer.from_pretrained("bert-base-uncased")
+        with open(args.region_features, "rb") as f:
+            regions = pickle.load(f)
+        extract_fn = make_visualbert_extractor(model, tokenizer, regions)
+        batch_size = args.batch_size or spec.batch_size
+        model_name = "visualbert"
     else:
         from multimodal_decoding_tpu.extraction.extractors import REGISTRY, build_extractor
 
@@ -56,7 +84,10 @@ def main():
                 "For models without local weights, use "
                 "extraction.harness.import_external_features."
             )
-        _, _, extract_fn = build_extractor(args.model, pretrained=not args.random_init)
+        try:
+            _, _, extract_fn = build_extractor(args.model, pretrained=not args.random_init)
+        except ValueError as e:  # external-import / two-stage models
+            raise SystemExit(str(e)) from None
         batch_size = args.batch_size or REGISTRY[args.model].batch_size
         model_name = f"random-{args.model}" if args.random_init else args.model
 
