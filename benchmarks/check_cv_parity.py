@@ -76,7 +76,7 @@ def main():
         start = b * block
         fast = run(jax.lax.Precision.DEFAULT, args.cv_solver, start,
                    cv_scorer=args.cv_scorer)
-        strict = run(None, None, start)
+        strict = run(None, None, start, cv_scorer="strict")
         a_fast = np.asarray(fast["best_alpha"])
         a_strict = np.asarray(strict["best_alpha"])
         agree += int((a_fast == a_strict).sum())

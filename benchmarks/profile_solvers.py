@@ -99,6 +99,16 @@ def main():
                                                base_method="pallas"),
                           rhs, precision=DEF).sum()
 
+    def schur_pallas128(a, rhs):
+        return jnp.matmul(SV.schur_spd_inverse(a, base=128, precision=DEF,
+                                               base_method="pallas"),
+                          rhs, precision=DEF).sum()
+
+    def schur_pallas256(a, rhs):
+        return jnp.matmul(SV.schur_spd_inverse(a, base=256, precision=DEF,
+                                               base_method="pallas"),
+                          rhs, precision=DEF).sum()
+
     def schur_cb16(a, rhs):
         return SV.spd_solve(a, rhs, method="schur-cb16", precision=DEF).sum()
 
@@ -129,7 +139,8 @@ def main():
              "schur-cb-x6": schur_cb_x6,
              "schur-cb16": schur_cb16, "schur-cb16-ns": schur_cb16_ns,
              "pallas64": pallas64, "pallas128": pallas128,
-             "schur-pallas": schur_pallas, "schur-pallas-375": schur_pallas375}
+             "schur-pallas": schur_pallas, "schur-pallas-375": schur_pallas375,
+             "schur-pallas-128": schur_pallas128, "schur-pallas-256": schur_pallas256}
 
     for name in args.which.split(","):
         fn = cands[name]

@@ -119,9 +119,12 @@ def fit_block_cv(
     final refit keeps ``precision``/``solver`` for BASELINE 1e-4 accuracy
     parity.  Defaults (None) inherit the strict settings.
 
-    ``cv_scorer="pallas"`` scores the validation folds with the streaming
-    pairwise-accuracy kernel (ops/pallas_metrics.py) instead of
-    materialising [B, nv, nv] distance matrices.
+    ``cv_scorer`` picks the validation-fold scorer: "xla" (default) uses the
+    scale-invariant formulation (predictions unnormalised — row norms cancel
+    in the rank comparisons, saving a [nv, B, D] materialisation per
+    (fold, alpha)); "strict" materialises cosine-distance matrices exactly
+    like the final metrics; "pallas" streams similarity tiles
+    (ops/pallas_metrics.py).
     """
     cv_precision = precision if cv_precision is None else cv_precision
     cv_solver = solver if cv_solver is None else cv_solver
@@ -142,6 +145,10 @@ def fit_block_cv(
     def fold_scores(val_idx):
         Xv = X_train_g[val_idx]  # [nv, B, K]
         Yv = Y_train[val_idx]
+        # scale-invariance: the fold scorer only normalises the latents —
+        # prediction row norms cancel in the rank comparisons
+        # (M.pairwise_acc_scale_invariant)
+        Yv_n = Yv / jnp.linalg.norm(Yv, axis=-1, keepdims=True)
         G_val = jnp.einsum(
             "nbk,nbl->bkl", Xv, Xv, preferred_element_type=jnp.float32,
             precision=cv_precision,
@@ -166,8 +173,10 @@ def fit_block_cv(
                 )
 
                 return streamed_pairwise_acc(preds, Yv, precision=cv_precision)
-            dist = M.cosine_distances(preds, Yv, precision=cv_precision)
-            return M.pairwise_acc_from_dist(dist)  # [B]
+            if cv_scorer == "strict":
+                dist = M.cosine_distances(preds, Yv, precision=cv_precision)
+                return M.pairwise_acc_from_dist(dist)  # [B]
+            return M.pairwise_acc_scale_invariant(preds, Yv_n, precision=cv_precision)
 
         return jax.lax.map(one_alpha, alphas)  # [A, B]
 

@@ -187,6 +187,27 @@ def pairwise_acc_from_dist(dist: jnp.ndarray) -> jnp.ndarray:
     return corrects / (n * m - k)
 
 
+def pairwise_acc_scale_invariant(predictions: jnp.ndarray,
+                                 latents_normalized: jnp.ndarray,
+                                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Cosine pairwise accuracy WITHOUT normalising the predictions.
+
+    ``dist_ii < dist_ij``  <=>  ``sim_ij < sim_ii`` where sim = P Y-hat^T:
+    within row i every entry shares the positive factor 1/|p_i|, so the
+    comparison outcome is invariant to prediction row norms — only the
+    latents need unit rows.  This removes a [.., n, D] normalise
+    materialisation per call (the CV selection path calls this 30x/block;
+    see docs/PERF_NOTES.md).  Counting semantics identical to
+    pairwise_acc_from_dist (strict inequality; diagonal self-compare false).
+    """
+    sim = jnp.matmul(predictions, jnp.swapaxes(latents_normalized, -1, -2),
+                     preferred_element_type=jnp.float32, precision=precision)
+    diag = jnp.diagonal(sim, axis1=-2, axis2=-1)[..., :, None]
+    n, m = sim.shape[-2], sim.shape[-1]
+    counts = jnp.sum(sim < diag, axis=(-2, -1))
+    return counts / (n * m - min(n, m))
+
+
 def pairwise_accuracy(
     latents: jnp.ndarray,
     predictions: jnp.ndarray,

@@ -154,3 +154,26 @@ def test_euclidean_metric_matches_scipy(rng):
     diag = ref.diagonal().reshape(-1, 1)
     acc_ref = (diag < ref).sum() / (ref.size - diag.size)
     assert abs(acc_ours - acc_ref) < 1e-6
+
+
+def test_pairwise_acc_scale_invariant_matches_dist_path(rng):
+    """Scale-invariant scorer == distance-matrix scorer, including under
+    arbitrary positive rescaling of prediction rows."""
+    from multimodal_decoding_tpu.ops.metrics import (
+        cosine_distances,
+        pairwise_acc_from_dist,
+        pairwise_acc_scale_invariant,
+    )
+
+    preds = rng.randn(4, 23, 9).astype(np.float32)
+    latents = rng.randn(23, 9).astype(np.float32)
+    lat_n = latents / np.linalg.norm(latents, axis=-1, keepdims=True)
+
+    ref = np.asarray(pairwise_acc_from_dist(cosine_distances(preds, latents)))
+    got = np.asarray(pairwise_acc_scale_invariant(preds, lat_n))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    # positive per-row rescaling of predictions must not change anything
+    scales = rng.rand(4, 23, 1).astype(np.float32) * 10 + 0.1
+    got2 = np.asarray(pairwise_acc_scale_invariant(preds * scales, lat_n))
+    np.testing.assert_allclose(got2, ref, atol=1e-6)
