@@ -167,16 +167,22 @@ def fit_block_cv(
                 "nbk,bkd->bnd", Xv, W, preferred_element_type=jnp.float32,
                 precision=cv_precision,
             )
+            if cv_scorer == "xla":
+                # scale-invariant: predictions stay unnormalised (row norms
+                # cancel in the rank comparisons).  NOTE: the reassociated
+                # form sim = Xv (W Yv_n^T) has fewer FLOPs (contracts K < D)
+                # but measured SLOWER (142 vs 158 v/s): the mid-batch Xv
+                # layout forces an operand copy per (fold, alpha).
+                return M.pairwise_acc_scale_invariant(preds, Yv_n,
+                                                      precision=cv_precision)
             if cv_scorer == "pallas":
                 from multimodal_decoding_tpu.ops.pallas_metrics import (
                     streamed_pairwise_acc,
                 )
 
                 return streamed_pairwise_acc(preds, Yv, precision=cv_precision)
-            if cv_scorer == "strict":
-                dist = M.cosine_distances(preds, Yv, precision=cv_precision)
-                return M.pairwise_acc_from_dist(dist)  # [B]
-            return M.pairwise_acc_scale_invariant(preds, Yv_n, precision=cv_precision)
+            dist = M.cosine_distances(preds, Yv, precision=cv_precision)
+            return M.pairwise_acc_from_dist(dist)  # [B]
 
         return jax.lax.map(one_alpha, alphas)  # [A, B]
 

@@ -202,6 +202,14 @@ def pairwise_acc_scale_invariant(predictions: jnp.ndarray,
     """
     sim = jnp.matmul(predictions, jnp.swapaxes(latents_normalized, -1, -2),
                      preferred_element_type=jnp.float32, precision=precision)
+    return pairwise_acc_from_sim(sim)
+
+
+def pairwise_acc_from_sim(sim: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise accuracy from a (row-scale-free) similarity matrix.
+
+    Counting semantics of pairwise_acc_from_dist under the scale-invariant
+    transform: ``dist_ii < dist_ij <=> sim_ij < sim_ii``."""
     diag = jnp.diagonal(sim, axis1=-2, axis2=-1)[..., :, None]
     n, m = sim.shape[-2], sim.shape[-1]
     counts = jnp.sum(sim < diag, axis=(-2, -1))
