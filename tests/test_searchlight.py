@@ -230,3 +230,41 @@ def test_schur_solver_block_matches_cholesky(rng):
         np.testing.assert_allclose(
             np.asarray(s_chol[m]), np.asarray(s_schur[m]), atol=1e-4
         )
+
+
+@pytest.mark.parametrize("n_train,n_splits,k,d", [
+    (47, 5, 5, 3),   # uneven folds (47 % 5 != 0), K > D
+    (33, 3, 4, 7),   # uneven folds, D > K, 3 splits
+])
+def test_cv_alpha_selection_sklearn_sweep(rng, n_train, n_splits, k, d):
+    """GridSearchCV-parity across fold-count/shape regimes, fast path."""
+    import jax
+    from sklearn.metrics import make_scorer
+    from sklearn.model_selection import GridSearchCV
+
+    v = 6
+    Xtr = rng.randn(n_train, v).astype(np.float32)
+    W = rng.randn(v, d)
+    Ytr = (Xtr @ W + 0.8 * rng.randn(n_train, d)).astype(np.float32)
+    Xte = rng.randn(10, v).astype(np.float32)
+    Xim = rng.randn(3, v).astype(np.float32)
+    Yte = rng.randn(10, d).astype(np.float32)
+    Yim = rng.randn(3, d).astype(np.float32)
+    adj = np.stack([rng.choice(v, size=k, replace=False) for _ in range(v)]).astype(np.int32)
+    layout = E.TestLayout.from_stim_types(np.array(["caption"] * 5 + ["image"] * 5))
+    X_all = np.concatenate([Xtr, Xte, Xim])
+    alphas = [1e-1, 1e1, 1e3, 1e5]
+
+    scores = E.searchlight_block_cv(
+        X_all, Ytr, Yte, Yim, adj, None, np.asarray(alphas, dtype=np.float32),
+        layout=layout, n_train=n_train, n_test=10, n_splits=n_splits,
+        cv_precision=jax.lax.Precision.DEFAULT, cv_solver="schur-pallas",
+    )
+
+    for vtx in range(len(adj)):
+        clf = GridSearchCV(
+            Ridge(fit_intercept=False), dict(alpha=alphas),
+            scoring=make_scorer(ref_acc, greater_is_better=True), cv=n_splits,
+        ).fit(Xtr[:, adj[vtx]].astype(np.float64), Ytr.astype(np.float64))
+        assert float(scores["best_alpha"][vtx]) == pytest.approx(
+            clf.best_params_["alpha"]), vtx
