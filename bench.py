@@ -64,15 +64,10 @@ def cpu_reference_rate(n_train, k, d) -> float:
         diag = dist.diagonal().reshape(-1, 1)
         return (diag < dist).sum() / (dist.size - diag.size)
 
-    def scorer(y_true, y_pred):
-        dist = cdist(y_pred, y_true, metric="cosine")
-        diag = dist.diagonal().reshape(-1, 1)
-        return (diag < dist).sum() / (dist.size - diag.size)
-
     t0 = time.time()
     clf = GridSearchCV(
         Ridge(fit_intercept=False), dict(alpha=ALPHAS),
-        scoring=make_scorer(scorer, greater_is_better=True), cv=N_SPLITS, n_jobs=1,
+        scoring=make_scorer(acc, greater_is_better=True), cv=N_SPLITS, n_jobs=1,
     )
     clf.fit(Xtr, Y_train)
     pt = clf.predict(Xte)
@@ -107,11 +102,10 @@ def main():
         n_train, v_total, k, d, block = 8192, 163842, 750, 1024, 128
         block = int(os.environ.get("BENCH_BLOCK", block))
         max_seconds = float(os.environ.get("BENCH_SECONDS", 150.0))
-        cpu_n = n_train
     else:
         n_train, v_total, k, d, block = 200, 1024, 50, 64, 64
         max_seconds = 30.0
-        cpu_n = n_train
+    cpu_n = n_train
 
     n_test, n_imag = 140, 3
 
@@ -185,9 +179,11 @@ def main():
         max_seconds, "cv-fast",
     )
     if os.environ.get("BENCH_STRICT", "1") != "0":
-        # strict all-HIGHEST cholesky path (the conservative parity mode)
+        # strict all-HIGHEST cholesky path with the distance-matrix scorer
+        # (the conservative parity mode, exactly what check_cv_parity's
+        # reference arm runs)
         rate_strict = timed_run(
-            make_run_block(None, None), max_seconds / 2, "cv-strict"
+            make_run_block(None, None, "strict"), max_seconds / 2, "cv-strict"
         )
         log(f"fast/strict speedup: {rate / rate_strict:.2f}x")
 

@@ -21,14 +21,17 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if "--cpu" in sys.argv or True:  # example targets any backend; default CPU-safe
-    import jax
+import jax
 
-    if jax.default_backend() != "tpu":
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError:
-            pass
+# CPU by default (querying the backend would claim the TPU on relay boxes);
+# pass --tpu to run on the accelerator
+if "--tpu" in sys.argv:
+    sys.argv.remove("--tpu")
+else:
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
 
 import numpy as np  # noqa: E402
 

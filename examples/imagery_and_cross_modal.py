@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-if jax.default_backend() != "tpu":
+# CPU by default (querying the backend would claim the TPU on relay boxes);
+# pass --tpu to run on the accelerator
+if "--tpu" in sys.argv:
+    sys.argv.remove("--tpu")
+else:
     try:
         jax.config.update("jax_platforms", "cpu")
     except RuntimeError:

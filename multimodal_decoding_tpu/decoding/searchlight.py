@@ -212,8 +212,14 @@ def run(cfg: SearchlightConfig) -> list:
                     else _jax.lax.Precision.HIGHEST,
                     cv_precision=(_jax.lax.Precision.DEFAULT
                                   if cfg.fast_cv and cfg.alphas_cv is not None else None),
-                    cv_solver=("schur-pallas"
+                    # the Pallas solver only pays off on TPU; elsewhere it
+                    # would run under the (slow) interpreter, so fall back
+                    # to the best XLA-only method
+                    cv_solver=((("schur-pallas"
+                                 if _jax.devices()[0].platform == "tpu"
+                                 else "schur-cb"))
                                if cfg.fast_cv and cfg.alphas_cv is not None else None),
+                    cv_scorer="xla" if cfg.fast_cv else "strict",
                     checkpoint_path=results_path + ".ckpt.npz",
                 )
                 print(f"Searchlight time: {int(time.time() - t0)}s "

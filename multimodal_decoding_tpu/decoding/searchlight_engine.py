@@ -270,6 +270,12 @@ def score_block(
     return out
 
 
+# number of metric families null_score_block emits: captions, images, and
+# the two imagery variants each with a _no_std twin.  The runner sizes its
+# device-memory flush budget from this; test_null_scores keeps it in sync.
+N_NULL_METRICS = 6
+
+
 def _rank_counts(dist: jnp.ndarray) -> jnp.ndarray:
     """C[..., i, c] = #{c': dist[..., i, c] < dist[..., i, c']}.
 

@@ -59,10 +59,16 @@ def max_confidences(
 ) -> np.ndarray:
     """Per-proposal max class confidence surviving per-class NMS.
 
-    ``cls_probs`` [R, C+1] (background last, detectron2 layout consumed at
-    :147-156), ``cls_boxes`` [R, C, 4].  For every foreground class, NMS the
-    class's boxes by the class score; surviving proposals record the score if
-    it beats their current maximum (calc_max_confs :145-156).
+    ``cls_probs`` [R, C+1] with column 0 treated as background (class-c boxes
+    are scored by probability column c+1), ``cls_boxes`` [R, C, 4].  This
+    off-by-one pairing is the REFERENCE'S OWN indexing (calc_max_confs
+    :145-156 pairs cls_boxes[:, cls_ind] with cls_prob[:, cls_ind + 1] even
+    though detectron2 puts background last) — reproduced faithfully because
+    the cached region features of the published pipeline depend on it.  A
+    pluggable detector must therefore supply probs in the layout this
+    indexing expects.  For every foreground class, NMS the class's boxes by
+    the class score; surviving proposals record the score if it beats their
+    current maximum.
     """
     n_boxes, n_classes_plus_1 = cls_probs.shape
     max_conf = np.zeros(n_boxes)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_decoding_tpu.decoding.searchlight_engine import (
+    N_NULL_METRICS,
     TestLayout,
     searchlight_block,
     searchlight_block_cv,
@@ -48,7 +49,6 @@ def _auto_block_size(n_rows: int, k: int, n_devices: int, budget_bytes: int = 2 
 # would park ~4 GB of outputs in HBM on top of the replicated X — OOM
 # territory on a 16 GB chip.
 _FLUSH_BUDGET_BYTES = 256 << 20
-_N_NULL_METRICS = 6
 
 
 def _flush_cadence(block_size: int, n_perms: int | None,
@@ -62,7 +62,7 @@ def _flush_cadence(block_size: int, n_perms: int | None,
     """
     if not n_perms:
         return 8
-    per_block = block_size * n_perms * 4 * _N_NULL_METRICS
+    per_block = block_size * n_perms * 4 * N_NULL_METRICS
     return max(1, min(8, budget_bytes // max(per_block, 1)))
 
 
@@ -199,10 +199,13 @@ def run_searchlight(
         mask_b = (
             jax.device_put(jnp.asarray(mask_padded[sl]), shard) if mask_padded is not None else None
         )
-        if use_cv and use_null:
+        if use_null:
+            # one derangement stream shared by both null branches: the
+            # CV+null == fixed-alpha+null equivalence test depends on it
             der = jax.random.randint(
                 jax.random.fold_in(rng, b), (block_size, n_perms), 0, 2, dtype=jnp.int32
             )
+        if use_cv and use_null:
             main, null = searchlight_block_cv_with_null(
                 X_all_d, Y_train_d, Y_test_d, Y_imag_d, idx_b, mask_b,
                 jnp.asarray(alphas_cv, dtype=jnp.float32), shuffles_d, der,
@@ -220,9 +223,6 @@ def run_searchlight(
             )
             results.append(out)
         elif use_null:
-            der = jax.random.randint(
-                jax.random.fold_in(rng, b), (block_size, n_perms), 0, 2, dtype=jnp.int32
-            )
             main, null = searchlight_block_with_null(
                 X_all_d, Y_train_d, Y_test_d, Y_imag_d, idx_b, mask_b, alpha,
                 shuffles_d, der,

@@ -51,7 +51,9 @@ def test_flush_cadence_policy():
     # a 256 MB budget the cadence must stay <= 8 and >= 1
     c = _flush_cadence(256, 1000)
     assert 1 <= c <= 8
-    assert c * 256 * 1000 * 4 * SR._N_NULL_METRICS <= SR._FLUSH_BUDGET_BYTES
+    from multimodal_decoding_tpu.decoding.searchlight_engine import N_NULL_METRICS
+
+    assert c * 256 * 1000 * 4 * N_NULL_METRICS <= SR._FLUSH_BUDGET_BYTES
     # huge null output per block -> flush every block
     assert _flush_cadence(4096, 100000) == 1
     # tiny budget forces cadence 1 even for small blocks
@@ -124,3 +126,23 @@ def test_cv_with_null_selects_per_vertex_alpha(rng):
     for m, arr in scores.items():
         assert arr.shape == (64,), m
         assert np.all(np.isfinite(arr)), m
+
+
+def test_n_null_metrics_constant_matches_engine(rng):
+    """The flush-budget constant must track null_score_block's output size."""
+    import jax.numpy as jnp
+
+    from multimodal_decoding_tpu.decoding import searchlight_engine as E
+
+    layout = E.TestLayout.from_stim_types(np.array(["caption"] * 5 + ["image"] * 5))
+    preds_t = jnp.asarray(rng.randn(2, 10, 4).astype(np.float32))
+    preds_i = jnp.asarray(rng.randn(2, 3, 4).astype(np.float32))
+    Yte = jnp.asarray(rng.randn(10, 4).astype(np.float32))
+    Yim = jnp.asarray(rng.randn(3, 4).astype(np.float32))
+    sh = np.stack([np.concatenate([np.random.RandomState(i).permutation(5),
+                                   5 + np.random.RandomState(i).permutation(5)])
+                   for i in range(3)]).astype(np.int32)
+    ders = np.zeros((2, 3), dtype=np.int32)
+    null = E.null_score_block(preds_t, preds_i, Yte, Yim, layout,
+                              jnp.asarray(sh), jnp.asarray(ders))
+    assert len(null) == E.N_NULL_METRICS
