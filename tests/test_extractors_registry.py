@@ -316,3 +316,84 @@ def test_visualbert_stage2_pooling():
     assert set(out) == {FUSED_MEAN_FEAT_KEY, FUSED_CLS_FEAT_KEY}
     assert out[FUSED_MEAN_FEAT_KEY].shape == (2, 16)
     assert np.all(np.isfinite(out[FUSED_MEAN_FEAT_KEY]))
+
+
+def test_vilt_fused_extractor_tiny():
+    """make_torch_fused_extractor on a tiny ViLT: padding-aware fused mean
+    (extract_vilt_features.py:31-51 recipe)."""
+    from transformers import ViltConfig, ViltModel
+
+    from multimodal_decoding_tpu.extraction.extractors import (
+        make_torch_fused_extractor,
+    )
+
+    cfg = ViltConfig(vocab_size=50, hidden_size=16, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=32,
+                     max_position_embeddings=32, image_size=32, patch_size=16)
+    model = ViltModel(cfg)
+
+    class StubProcessor:
+        def __call__(self, images=None, text=None, return_tensors="pt",
+                     padding=True, truncation=True):
+            ids = torch.zeros((len(text), 6), dtype=torch.long)
+            mask = torch.zeros((len(text), 6), dtype=torch.long)
+            for i, t in enumerate(text):
+                ws = t.split()[:6]
+                for j, w in enumerate(ws):
+                    ids[i, j] = hash(w) % 50
+                mask[i, : len(ws)] = 1
+            pixel = torch.stack([
+                torch.as_tensor(
+                    np.asarray(im.resize((32, 32)), dtype=np.float32).transpose(2, 0, 1)
+                ) / 255.0
+                for im in images
+            ])
+            return {"input_ids": ids, "attention_mask": mask, "pixel_values": pixel,
+                    "pixel_mask": torch.ones((len(images), 32, 32), dtype=torch.long)}
+
+    out = make_torch_fused_extractor(model, StubProcessor())(
+        [1, 2], ["a cat", "two dogs play fetch"], _images(2, size=32)
+    )
+    assert out[FUSED_MEAN_FEAT_KEY].shape == (2, 16)
+    assert out[FUSED_CLS_FEAT_KEY].shape == (2, 16)
+    assert np.all(np.isfinite(out[FUSED_MEAN_FEAT_KEY]))
+
+
+def test_siglip_dual_encoder_tiny():
+    """make_torch_dual_encoder_extractor on a tiny SigLIP."""
+    from transformers import SiglipConfig, SiglipModel
+
+    from multimodal_decoding_tpu.extraction.extractors import (
+        make_torch_dual_encoder_extractor,
+    )
+
+    cfg = SiglipConfig(
+        text_config=dict(vocab_size=50, hidden_size=16, num_hidden_layers=1,
+                         num_attention_heads=2, intermediate_size=32,
+                         max_position_embeddings=16),
+        vision_config=dict(hidden_size=16, num_hidden_layers=1,
+                           num_attention_heads=2, intermediate_size=32,
+                           image_size=24, patch_size=8),
+    )
+    model = SiglipModel(cfg)
+
+    class StubProcessor:
+        def __call__(self, text=None, images=None, return_tensors="pt", padding=True):
+            ids = torch.zeros((len(text), 6), dtype=torch.long)
+            for i, t in enumerate(text):
+                for j, w in enumerate(t.split()[:6]):
+                    ids[i, j] = hash(w) % 50
+            pixel = torch.stack([
+                torch.as_tensor(
+                    np.asarray(im.resize((24, 24)), dtype=np.float32).transpose(2, 0, 1)
+                ) / 255.0
+                for im in images
+            ])
+            return {"input_ids": ids, "pixel_values": pixel}
+
+    out = make_torch_dual_encoder_extractor(model, StubProcessor())(
+        [1, 2], ["a cat", "a dog"], _images(2)
+    )
+    assert out[LANG_CLS_FEAT_KEY].shape == (2, 16)
+    assert out[VISION_CLS_FEAT_KEY].shape == (2, 16)
+    assert np.all(np.isfinite(out[VISION_CLS_FEAT_KEY]))
