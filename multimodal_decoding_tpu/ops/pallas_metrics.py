@@ -8,12 +8,11 @@ similarity TILES through VMEM and reduces them to per-row counts on the fly,
 flash-attention style: the [nv, nv] matrix never exists.
 
 Status: selection-parity-validated on device (512/512 alpha agreement,
-final-score delta 0.0) but measured at 140 v/s in the CV block vs 146 v/s
-for the XLA scorer — the constant-index latent block is re-DMA'd on every
-grid step (~2.8 GB per (fold, alpha)), which eats the saving from not
-materialising the distance matrix.  cv_scorer="xla" therefore stays the
-default; this kernel wins when HBM capacity (not bandwidth) binds, or once
-the latent block is pinned resident.
+final-score delta 0.0).  With the scale-invariant treatment (predictions
+unnormalised, like the XLA scorer) it measures 153 v/s in the CV block vs
+158 v/s for the XLA scale-invariant scorer — per-call dispatch of 30 pallas
+launches per block eats the distance-matrix saving.  cv_scorer="xla" stays
+the default; this kernel wins when HBM capacity (not bandwidth) binds.
 
 Rounding-consistency note (learned the hard way): an earlier version
 computed the diagonal in exact f32 on the XLA side while the kernel's
@@ -74,7 +73,10 @@ def streamed_pairwise_acc(preds: jnp.ndarray, latents: jnp.ndarray,
         interpret = jax.devices()[0].platform != "tpu"
     b, nv, d = preds.shape
 
-    p = preds / jnp.linalg.norm(preds, axis=-1, keepdims=True)
+    # scale-invariance: prediction row norms cancel in the per-row rank
+    # comparisons (the diagonal comes from the same sim rows), so only the
+    # latents need unit rows — saves a [B, nv, D] materialisation
+    p = preds
     y = latents / jnp.linalg.norm(latents, axis=-1, keepdims=True)
 
     ti = 128
