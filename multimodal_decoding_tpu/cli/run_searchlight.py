@@ -70,7 +70,7 @@ def get_args():
                              "float16 inputs)")
     parser.add_argument("--strict-cv", action="store_true", default=False,
                         help="run CV alpha selection at f32-HIGHEST cholesky "
-                             "instead of the fast path (3.3x slower; the fast "
+                             "instead of the fast path (~3.5x slower; the fast "
                              "path is parity-exact, check_cv_parity.py)")
     return parser.parse_args()
 

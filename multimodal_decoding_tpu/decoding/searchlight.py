@@ -104,7 +104,7 @@ class SearchlightConfig:
     # DEFAULT precision with the Pallas-base Schur inverse; the refit stays
     # f32-HIGHEST cholesky.  On-device parity vs the strict path is exact
     # (benchmarks/check_cv_parity.py: 768/768 agreement, zero final-score
-    # delta) and it is 3.3x faster, so it defaults on.
+    # delta) and it is ~3.5x faster, so it defaults on.
     fast_cv: bool = True
 
 
