@@ -119,6 +119,64 @@ def compute_all() -> dict:
     out["flava_vision_cls"] = fo[VISION_CLS_FEAT_KEY]
     out["flava_fused_mean"] = fo[FUSED_MEAN_FEAT_KEY]
     out["flava_fused_cls"] = fo[FUSED_CLS_FEAT_KEY]
+
+    # --- torch ViLT (padding-aware fused pooling) ---------------------------
+    from transformers import ViltConfig, ViltModel
+
+    from multimodal_decoding_tpu.extraction.extractors import (
+        make_torch_fused_extractor,
+    )
+
+    torch.manual_seed(1)
+    vcfg = ViltConfig(vocab_size=50, hidden_size=16, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=32,
+                      max_position_embeddings=32, image_size=32, patch_size=16)
+    vilt = ViltModel(vcfg)
+
+    class ViltFixedProcessor:
+        def __call__(self, images=None, text=None, return_tensors="pt",
+                     padding=True, truncation=True):
+            t_ids = torch.as_tensor(ids, dtype=torch.long)
+            t_mask = torch.as_tensor(mask, dtype=torch.long)
+            px = np.random.RandomState(44).rand(len(text), 3, 32, 32).astype(np.float32)
+            return {"input_ids": t_ids, "attention_mask": t_mask,
+                    "pixel_values": torch.as_tensor(px),
+                    "pixel_mask": torch.ones((len(text), 32, 32), dtype=torch.long)}
+
+    vo = make_torch_fused_extractor(vilt, ViltFixedProcessor())(
+        [1, 2], ["a", "b"], [None, None]
+    )
+    out["vilt_fused_mean"] = vo[FUSED_MEAN_FEAT_KEY]
+    out["vilt_fused_cls"] = vo[FUSED_CLS_FEAT_KEY]
+
+    # --- torch VisualBERT stage 2 (fused pooling over cached regions) ------
+    from transformers import VisualBertConfig, VisualBertModel
+
+    from multimodal_decoding_tpu.extraction.visualbert import (
+        make_visualbert_extractor,
+    )
+
+    torch.manual_seed(2)
+    vbcfg = VisualBertConfig(
+        vocab_size=50, hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=32, visual_embedding_dim=12, max_position_embeddings=64,
+    )
+    vb = VisualBertModel(vbcfg)
+    regions_rng = np.random.RandomState(45)
+    regions = {1: regions_rng.randn(5, 12).astype(np.float32),
+               2: regions_rng.randn(5, 12).astype(np.float32)}
+
+    class BertFixedTokenizer:
+        def __call__(self, texts, padding=True, return_tensors="pt"):
+            return {"input_ids": torch.as_tensor(ids, dtype=torch.long),
+                    "attention_mask": torch.as_tensor(mask, dtype=torch.long),
+                    "token_type_ids": torch.zeros(ids.shape, dtype=torch.long)}
+
+    vbo = make_visualbert_extractor(vb, BertFixedTokenizer(), regions)(
+        [1, 2], ["a", "b"], None
+    )
+    out["visualbert_fused_mean"] = vbo[FUSED_MEAN_FEAT_KEY]
+    out["visualbert_fused_cls"] = vbo[FUSED_CLS_FEAT_KEY]
     return out
 
 

@@ -30,18 +30,19 @@ def recomputed():
     return compute_all()
 
 
-def test_golden_keys_complete(goldens):
-    assert set(goldens) == {
-        "clip_text_embeds", "clip_image_embeds",
-        "bert_lang_mean", "bert_lang_cls",
-        "flava_lang_cls", "flava_vision_cls", "flava_fused_mean", "flava_fused_cls",
-    }
-
-
-@pytest.mark.parametrize("key", [
+GOLDEN_KEYS = [
     "clip_text_embeds", "clip_image_embeds",
     "bert_lang_mean", "bert_lang_cls",
     "flava_lang_cls", "flava_vision_cls", "flava_fused_mean", "flava_fused_cls",
-])
+    "vilt_fused_mean", "vilt_fused_cls",
+    "visualbert_fused_mean", "visualbert_fused_cls",
+]
+
+
+def test_golden_keys_complete(goldens):
+    assert set(goldens) == set(GOLDEN_KEYS)
+
+
+@pytest.mark.parametrize("key", GOLDEN_KEYS)
 def test_extractor_output_matches_golden(goldens, recomputed, key):
     np.testing.assert_allclose(recomputed[key], goldens[key], rtol=2e-4, atol=2e-5)
