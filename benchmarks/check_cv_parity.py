@@ -23,21 +23,28 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--blocks", type=int, default=8)
-    ap.add_argument("--cv-solver", type=str, default="schur",
-                    help="fast-path solver to validate against strict")
-    ap.add_argument("--cv-scorer", type=str, default="xla")
-    args = ap.parse_args()
+def run_parity(n_blocks: int = 8, cv_solver: str | None = None,
+               cv_scorer: str = "xla") -> dict:
+    """Fast-vs-strict CV parity over planted-signal blocks.
 
+    ``cv_solver=None`` resolves to the SHIPPED default for this platform
+    (decoding.searchlight.default_cv_solver) so the gate always validates
+    exactly the production configuration.  Returns the summary dict that
+    main() prints.  Importable so the test suite runs the gate in CI
+    (CPU mode, small shapes).
+    """
     import jax
     import jax.numpy as jnp
 
+    from multimodal_decoding_tpu.decoding.searchlight import default_cv_solver
     from multimodal_decoding_tpu.decoding.searchlight_engine import (
         TestLayout,
         searchlight_block_cv,
     )
+
+    if cv_solver is None:
+        cv_solver = default_cv_solver()
+    log(f"validating shipped fast path: cv_solver={cv_solver}, cv_scorer={cv_scorer}")
 
     on_accel = jax.devices()[0].platform != "cpu"
     if on_accel:
@@ -72,10 +79,10 @@ def main():
     agree = 0
     total = 0
     max_score_delta = 0.0
-    for b in range(args.blocks):
+    for b in range(n_blocks):
         start = b * block
-        fast = run(jax.lax.Precision.DEFAULT, args.cv_solver, start,
-                   cv_scorer=args.cv_scorer)
+        fast = run(jax.lax.Precision.DEFAULT, cv_solver, start,
+                   cv_scorer=cv_scorer)
         strict = run(None, None, start, cv_scorer="strict")
         a_fast = np.asarray(fast["best_alpha"])
         a_strict = np.asarray(strict["best_alpha"])
@@ -91,9 +98,30 @@ def main():
 
     log(f"\nTOTAL: alpha agreement {agree}/{total} = {agree / total:.4f}; "
         f"max final-score delta {max_score_delta:.2e}")
-    print(f'{{"alpha_agreement": {agree / total:.4f}, '
-          f'"max_final_score_delta": {max_score_delta:.3e}, '
-          f'"blocks": {args.blocks}, "block_size": {block}}}')
+    return {
+        "alpha_agreement": agree / total,
+        "max_final_score_delta": max_score_delta,
+        "blocks": n_blocks,
+        "block_size": block,
+        "cv_solver": cv_solver,
+        "cv_scorer": cv_scorer,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=8)
+    ap.add_argument("--cv-solver", type=str, default=None,
+                    help="fast-path solver to validate against strict "
+                         "(default: the shipped platform default, "
+                         "decoding.searchlight.default_cv_solver)")
+    ap.add_argument("--cv-scorer", type=str, default="xla")
+    args = ap.parse_args()
+    out = run_parity(args.blocks, args.cv_solver, args.cv_scorer)
+    print(f'{{"alpha_agreement": {out["alpha_agreement"]:.4f}, '
+          f'"max_final_score_delta": {out["max_final_score_delta"]:.3e}, '
+          f'"blocks": {out["blocks"]}, "block_size": {out["block_size"]}, '
+          f'"cv_solver": "{out["cv_solver"]}"}}')
 
 
 if __name__ == "__main__":

@@ -76,6 +76,10 @@ def get_args():
     parser.add_argument("--out-dir", type=str,
                         default=SEARCHLIGHT_PERMUTATION_TESTING_RESULTS_DIR)
     parser.add_argument("--keep-null-maps", action="store_true", default=False)
+    parser.add_argument("--sharded", action="store_true", default=False,
+                        help="run the null t-map sweep permutation-sharded "
+                             "over all available devices (per-host null "
+                             "ingestion on multi-host slices)")
     return parser.parse_args()
 
 
@@ -117,7 +121,12 @@ def main():
         out_dir=args.out_dir,
         keep_null_maps=args.keep_null_maps,
     )
-    run(cfg)
+    device_mesh = None
+    if args.sharded:
+        from multimodal_decoding_tpu.parallel.mesh import vertex_mesh
+
+        device_mesh = vertex_mesh()
+    run(cfg, mesh=device_mesh)
 
 
 if __name__ == "__main__":

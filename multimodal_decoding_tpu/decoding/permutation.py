@@ -313,11 +313,76 @@ def assemble_null_scores(cfg: PermutationConfig, subject: str, hemi: str) -> dic
     return {k: np.ascontiguousarray(v.T.astype(np.float32)) for k, v in maps.items()}
 
 
-def null_max_tfce_statistics(cfg: PermutationConfig) -> dict:
+def _stacked_null_scores(cfg: PermutationConfig, hemi: str, members, mesh=None) -> dict:
+    """{metric: [S, P_within, V]} per-subject null stacks for one hemi.
+
+    ``mesh=None``: one process loads every subject's null artifact.  With a
+    mesh, ingestion is per-host sharded: each host reads only the subjects it
+    owns (multihost.host_shard_bounds over the subject list) and the union is
+    assembled on device by one reduce (multihost.replicate_host_filled) —
+    the multi-chip analogue of the reference's per-job HDF5 shard assembly
+    (permutation_testing.py:513-556).
+    """
+    if mesh is None:
+        subj_nulls = [assemble_null_scores(cfg, s, hemi) for s in cfg.subjects]
+        return {
+            m: np.stack([sn[m] for sn in subj_nulls]) for m in members
+        }
+
+    import jax
+
+    from multimodal_decoding_tpu.parallel.multihost import (
+        host_shard_bounds,
+        replicate_host_filled,
+    )
+
+    n_subj = len(cfg.subjects)
+
+    def host_fill(host_idx, n_hosts):
+        lo, hi = host_shard_bounds(n_subj, host_idx, n_hosts)
+        return {s: assemble_null_scores(cfg, cfg.subjects[s], hemi)
+                for s in range(lo, hi)}
+
+    if jax.process_count() > 1:
+        owned = host_fill(jax.process_index(), jax.process_count())
+        all_owned = [owned]
+    else:
+        # device-granular host emulation (same convention as multihost.py)
+        n_dev = mesh.devices.size
+        all_owned = [host_fill(d, n_dev) for d in range(n_dev)]
+
+    some = next(o for o in all_owned if o)
+    sample = next(iter(some.values()))
+    p_within, v = sample[members[0]].shape
+
+    out = {}
+    for metric in members:
+        def fill_of(owned):
+            fill = np.zeros((n_subj, p_within, v), np.float32)
+            for s, maps in owned.items():
+                fill[s] = maps[metric]
+            return fill
+
+        if jax.process_count() > 1:
+            out[metric] = replicate_host_filled(fill_of(all_owned[0]), mesh)
+        else:
+            out[metric] = replicate_host_filled(
+                [fill_of(o) for o in all_owned], mesh
+            )
+    return out
+
+
+def null_max_tfce_statistics(cfg: PermutationConfig, mesh=None) -> dict:
     """Group-level null: sample permutations, t-maps on device, native TFCE.
 
     Returns {"null_max": [P_group] max TFCE across hemis, "per_hemi": ...}
     and caches to <results>/null_max<hparams>.npz.
+
+    With ``mesh``, the [P_group, V] t-map sweep runs permutation-sharded
+    across the devices (parallel.distributed.sharded_null_t_maps) and null
+    ingestion is per-host sharded — the production wiring of what the
+    reference does with joblib vertex shards + HDF5 reassembly
+    (searchlight_permutation_testing.py:513-556).
     """
     out_dir = permutation_results_dir(cfg)
     os.makedirs(out_dir, exist_ok=True)
@@ -326,31 +391,41 @@ def null_max_tfce_statistics(cfg: PermutationConfig) -> dict:
         z = np.load(cache)
         return {"null_max": z["null_max"]}
 
+    if mesh is not None:
+        from multimodal_decoding_tpu.parallel.distributed import sharded_null_t_maps
+
     # per-subject [P_within, V] nulls for the constituent metrics
     members = S.COMPOSITE_METRICS.get(cfg.metric, [cfg.metric])
     per_hemi_null_t = {}
     n_group = cfg.n_permutations_group_level
 
     for hemi in cfg.hemis:
-        subj_nulls = []
-        for subject in cfg.subjects:
-            subj_nulls.append(assemble_null_scores(cfg, subject, hemi))
-        p_within = subj_nulls[0][members[0]].shape[0]
+        stacks = _stacked_null_scores(cfg, hemi, members, mesh)
+        p_within, v = stacks[members[0]].shape[1:]
         perms = S.group_permutations(p_within, len(cfg.subjects), n_group)
 
-        v = subj_nulls[0][members[0]].shape[1]
         t_min = np.full((n_group, v), np.inf, dtype=np.float32)
         any_valid = np.zeros((n_group, v), dtype=bool)
         for metric in members:
-            scores = jnp.asarray(
-                np.stack([sn[metric] for sn in subj_nulls])
-            )  # [S, P_within, V]
+            scores = jnp.asarray(stacks[metric])  # [S, P_within, V]
             popmean = _chance(metric)
             for start in range(0, n_group, cfg.null_chunk):
-                chunk = jnp.asarray(perms[start : start + cfg.null_chunk])
-                t_chunk = np.asarray(S.null_t_maps(scores, chunk, popmean))
+                chunk = perms[start : start + cfg.null_chunk]
+                n_chunk = len(chunk)
+                if mesh is not None:
+                    n_dev = mesh.devices.size
+                    pad = (-n_chunk) % n_dev
+                    if pad:
+                        chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)])
+                    t_chunk = np.asarray(
+                        sharded_null_t_maps(scores, chunk, popmean, mesh)
+                    )[:n_chunk]
+                else:
+                    t_chunk = np.asarray(
+                        S.null_t_maps(scores, jnp.asarray(chunk), popmean)
+                    )
                 valid = ~np.isnan(t_chunk)
-                sl = slice(start, start + len(t_chunk))
+                sl = slice(start, start + n_chunk)
                 t_min[sl] = np.where(
                     valid & (t_chunk < t_min[sl]), t_chunk, t_min[sl]
                 )
@@ -384,7 +459,7 @@ def null_max_tfce_statistics(cfg: PermutationConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def calc_test_statistics(cfg: PermutationConfig) -> dict:
+def calc_test_statistics(cfg: PermutationConfig, mesh=None) -> dict:
     """Observed t -> TFCE -> p-values (parity: :296-346), cached per stage."""
     out_dir = permutation_results_dir(cfg)
     os.makedirs(out_dir, exist_ok=True)
@@ -409,7 +484,7 @@ def calc_test_statistics(cfg: PermutationConfig) -> dict:
     else:
         tfce_values = artifacts.load_pickle(tfce_path)
 
-    null = null_max_tfce_statistics(cfg)
+    null = null_max_tfce_statistics(cfg, mesh)
     cutoff, null_sorted = S.significance_cutoff(null["null_max"], cfg.p_value_threshold)
 
     p_values = {}
@@ -494,10 +569,14 @@ def create_masks(cfg: PermutationConfig, stats: dict | None = None) -> dict:
     return {"masks": masks, "clusters": clusters_table}
 
 
-def run(cfg: PermutationConfig) -> dict:
-    """create_null_distribution -> calc_test_statistics -> create_masks (:666-675)."""
+def run(cfg: PermutationConfig, mesh=None) -> dict:
+    """create_null_distribution -> calc_test_statistics -> create_masks (:666-675).
+
+    Pass a jax.sharding.Mesh to run the null t-map sweep permutation-sharded
+    across devices with per-host null-artifact ingestion.
+    """
     print(f"\nPermutation Testing for {cfg.metric}\n")
-    stats = calc_test_statistics(cfg)
+    stats = calc_test_statistics(cfg, mesh)
     out = create_masks(cfg, stats)
     out.update(stats)
     return out

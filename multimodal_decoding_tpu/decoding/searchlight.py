@@ -46,6 +46,19 @@ from multimodal_decoding_tpu.parallel.searchlight_runner import run_searchlight
 from multimodal_decoding_tpu.utils.runlog import RunLogger
 
 
+def default_cv_solver() -> str:
+    """The shipped CV fast-path solver for the current platform.
+
+    The Pallas solver only pays off on TPU; elsewhere it would run under the
+    (slow) interpreter, so fall back to the best XLA-only method.  The parity
+    gate (benchmarks/check_cv_parity.py) reads THIS function so it always
+    validates exactly what ships.
+    """
+    import jax
+
+    return "schur-pallas" if jax.devices()[0].platform == "tpu" else "schur-cb"
+
+
 def searchlight_mode_str(radius=None, n_neighbors=None) -> str:
     """Mode string in results paths (parity: searchlight.py:299-305)."""
     if radius is not None:
@@ -212,12 +225,7 @@ def run(cfg: SearchlightConfig) -> list:
                     else _jax.lax.Precision.HIGHEST,
                     cv_precision=(_jax.lax.Precision.DEFAULT
                                   if cfg.fast_cv and cfg.alphas_cv is not None else None),
-                    # the Pallas solver only pays off on TPU; elsewhere it
-                    # would run under the (slow) interpreter, so fall back
-                    # to the best XLA-only method
-                    cv_solver=((("schur-pallas"
-                                 if _jax.devices()[0].platform == "tpu"
-                                 else "schur-cb"))
+                    cv_solver=(default_cv_solver()
                                if cfg.fast_cv and cfg.alphas_cv is not None else None),
                     cv_scorer="xla" if cfg.fast_cv else "strict",
                     checkpoint_path=results_path + ".ckpt.npz",

@@ -140,26 +140,38 @@ def make_visualbert_extractor(model, tokenizer, region_features: dict) -> Callab
 
     def extract(ids, captions, images):
         inputs = tokenizer(list(captions), padding=True, return_tensors="pt")
+        # select_boxes keeps anywhere in [min_boxes, max_boxes] regions per
+        # image, so mixed-count batches are the norm: pad every image's
+        # features to the batch max and mask the padding (the reference's
+        # torch.stack would crash here — fixed, not replicated).
+        region = [
+            torch.as_tensor(region_features[i], dtype=torch.float32) for i in ids
+        ]
+        counts = torch.as_tensor([r.shape[0] for r in region])
+        vmax = int(counts.max())
         visual_embeds = torch.stack(
-            [torch.as_tensor(region_features[i], dtype=torch.float32) for i in ids]
+            [torch.nn.functional.pad(r, (0, 0, 0, vmax - r.shape[0])) for r in region]
         )
-        vis_shape = visual_embeds.shape[:-1]
+        vis_mask = (
+            torch.arange(vmax)[None, :] < counts[:, None]
+        ).to(torch.long)
         with torch.no_grad():
             out = model(
                 input_ids=inputs["input_ids"],
                 attention_mask=inputs["attention_mask"],
                 token_type_ids=inputs.get("token_type_ids"),
                 visual_embeds=visual_embeds,
-                visual_attention_mask=torch.ones(vis_shape, dtype=torch.long),
-                visual_token_type_ids=torch.ones(vis_shape, dtype=torch.long),
+                visual_attention_mask=vis_mask,
+                visual_token_type_ids=torch.ones_like(vis_mask),
             )
         h = out.last_hidden_state
         n_text = inputs["input_ids"].shape[1]
         lang, img = h[:, :n_text], h[:, n_text:]
         mask = inputs["attention_mask"].unsqueeze(-1).to(h.dtype)
+        img_mask = vis_mask.unsqueeze(-1).to(h.dtype)
         fused_mean = (
-            (lang * mask).sum(dim=1) + img[:, 1:].sum(dim=1)
-        ) / (mask.sum(dim=1) + img.shape[1] - 1)
+            (lang * mask).sum(dim=1) + (img * img_mask)[:, 1:].sum(dim=1)
+        ) / (mask.sum(dim=1) + (counts - 1).unsqueeze(-1).to(h.dtype))
         return {
             FUSED_MEAN_FEAT_KEY: fused_mean.float().numpy(),
             FUSED_CLS_FEAT_KEY: out.pooler_output.float().numpy(),

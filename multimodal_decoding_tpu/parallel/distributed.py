@@ -135,6 +135,14 @@ def sharded_null_t_maps(scores, permutations, popmean: float, mesh: Mesh):
     """
     from multimodal_decoding_tpu.ops.stats import null_t_maps
 
+    n_dev = mesh.devices.size
+    if len(permutations) % n_dev != 0:
+        raise ValueError(
+            f"len(permutations)={len(permutations)} must be divisible by the "
+            f"mesh size {n_dev}; pad with repeats and slice, or chunk "
+            "upstream (decoding/permutation.py pads for you)"
+        )
+
     def local(scores_rep, perms_local):
         return null_t_maps(scores_rep, perms_local, popmean)
 
@@ -208,4 +216,27 @@ def multichip_training_step(mesh_v: Mesh, mesh_f: Mesh):
         jnp.asarray(Y_train), jnp.asarray(Y_test), jnp.asarray(Y_imag), idx_sharded,
     )
     scores = dict(scores, **{f"cv_{m}": s for m, s in cv_scores.items()})
+
+    # (4) permutation-sharded group-null t-maps with per-host-sharded null
+    # ingestion (the production permutation pipeline's multi-chip path)
+    from multimodal_decoding_tpu.ops.stats import group_permutations
+    from multimodal_decoding_tpu.parallel.multihost import (
+        host_shard_bounds,
+        replicate_host_filled,
+    )
+
+    n_subj, p_within = 4, 6
+    subj_null = rng.rand(n_subj, p_within, v).astype(np.float32)
+
+    def fill(host_idx):
+        lo, hi = host_shard_bounds(n_subj, host_idx, n_dev)
+        f = np.zeros_like(subj_null)
+        f[lo:hi] = subj_null[lo:hi]
+        return f
+
+    null_scores = replicate_host_filled([fill(d) for d in range(n_dev)], mesh_v)
+    perms = group_permutations(p_within, n_subj, 2 * n_dev)
+    null_t = sharded_null_t_maps(null_scores, perms, 0.5, mesh_v)
+    scores["perm_null_t"] = null_t.max(axis=1)
+
     return np.asarray(preds_wb), {m: np.asarray(s) for m, s in scores.items()}

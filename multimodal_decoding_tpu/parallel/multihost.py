@@ -108,6 +108,48 @@ def replicate_rows(x_row_sharded: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.jit(lambda x: x, out_shardings=rep)(x_row_sharded)
 
 
+def replicate_host_filled(fills, mesh: Mesh) -> jax.Array:
+    """Union of disjointly-filled per-host tensors via one on-device reduce.
+
+    For artifacts whose natural shard axis does NOT divide the mesh (e.g. the
+    [S=6 subjects, P_within, V] null score tensors of the permutation
+    pipeline): each host loads only the rows it owns and fills the rest with
+    EXACT zeros; stacking the per-host copies on a device-sharded leading
+    axis and summing it away (one psum over ICI/DCN) replicates the union.
+    NaN entries are fine — each is owned by exactly one host, the others
+    contribute 0.0 there.
+
+    ``fills``: multi-process — this process's [..] fill (every process passes
+    its own); single-process — a list of per-"host" fills (device-granular
+    emulation, like the rest of this module).  Returns the replicated union.
+    """
+    n_dev = mesh.devices.size
+    sharding = NamedSharding(mesh, P(VERTEX_AXIS))
+    if jax.process_count() > 1:
+        fill = np.asarray(fills, dtype=np.float32)
+        # contribute on the first local device, exact zeros on the rest
+        n_local = len(mesh.local_devices)
+        local = np.zeros((n_local,) + fill.shape, np.float32)
+        local[0] = fill
+        stacked = jax.make_array_from_process_local_data(
+            sharding, local, (n_dev,) + fill.shape
+        )
+    else:
+        fills = [np.asarray(f, dtype=np.float32) for f in fills]
+        if len(fills) != n_dev:
+            raise ValueError(
+                f"single-process emulation needs one fill per device "
+                f"({n_dev}), got {len(fills)}"
+            )
+        devices = mesh.devices.flatten()
+        shards = [jax.device_put(f[None], devices[d]) for d, f in enumerate(fills)]
+        stacked = jax.make_array_from_single_device_arrays(
+            (n_dev,) + fills[0].shape, sharding, shards
+        )
+    rep = NamedSharding(mesh, P())
+    return jax.jit(lambda x: x.sum(axis=0), out_shardings=rep)(stacked)
+
+
 def distributed_beta_matrix(paths, mesh: Mesh, pad_value: float = 0.0):
     """End-to-end per-host load + assembly + replication.
 

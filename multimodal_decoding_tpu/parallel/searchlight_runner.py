@@ -178,15 +178,20 @@ def run_searchlight(
         print(f"resuming searchlight from block {ckpt_done + 1}/{n_blocks}")
 
     def _save_ckpt(done):
+        nonlocal n_hosted
         if checkpoint_path is None:
             return
         os.makedirs(os.path.dirname(checkpoint_path) or ".", exist_ok=True)
+        # entries below n_hosted are already host numpy — convert only the
+        # device-resident tail so checkpointing stays O(new blocks), not
+        # O(total blocks)
+        n_hosted = _materialize_pending([results, null_results], n_hosted)
         tmp = checkpoint_path + ".tmp.npz"
         np.savez(
             tmp.removesuffix(".npz"),
             done_blocks=done,
-            results=np.array([_to_host(r) for r in results], dtype=object),
-            null_results=np.array([_to_host(r) for r in null_results], dtype=object),
+            results=np.array(results, dtype=object),
+            null_results=np.array(null_results, dtype=object),
         )
         os.replace(tmp, checkpoint_path)
 

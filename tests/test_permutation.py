@@ -268,3 +268,28 @@ def test_cv_artifacts_feed_permutation_pipeline(tmp_path, monkeypatch):
     stats = out["stats"] if "stats" in out else out
     assert np.isfinite(stats["significance_cutoff"])
     _load_feature_pickle.cache_clear()
+
+
+def test_null_max_sharded_matches_single_device(pipeline_run, tmp_path):
+    """Production permutation pipeline on the 8-device mesh == single-device.
+
+    Covers both halves of the multi-chip wiring: permutation-sharded
+    null t-maps (sharded_null_t_maps, chunk padded to the mesh) and
+    per-host-sharded null ingestion (replicate_host_filled union).
+    """
+    from dataclasses import replace
+
+    from multimodal_decoding_tpu.parallel.mesh import vertex_mesh
+
+    out, cfg, mesh = pipeline_run
+    # fresh out_dir so the cached single-device null_max is not reused
+    cfg_sharded = replace(cfg, out_dir=str(tmp_path / "perm_sharded"))
+    # null_chunk=8 divides the mesh evenly; also use a chunk that does NOT
+    # (pads with repeats and slices back)
+    for chunk in (8, 5):
+        cfg_i = replace(cfg_sharded, out_dir=f"{cfg_sharded.out_dir}_{chunk}",
+                        null_chunk=chunk)
+        res = PT.null_max_tfce_statistics(cfg_i, mesh=vertex_mesh())
+        np.testing.assert_allclose(
+            np.sort(res["null_max"]), out["null_max_sorted"], rtol=1e-5
+        )
