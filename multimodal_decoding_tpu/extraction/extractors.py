@@ -480,15 +480,18 @@ REGISTRY = {
                                      "make_visualbert_extractor with cached Mask-RCNN "
                                      "region features (stage-1 box selection in "
                                      "extraction/visualbert.py)"),
-    # external-import escape hatches (no transformers/Flax weights exist):
-    # compute features with the upstream repo, then
-    # harness.import_external_features (transform_glow_features.py pattern)
-    "imagebind": ExtractorSpec("imagebind_huge", None, "external", 10,
-                               note="reference vendors ImageBind as a git submodule; "
-                                    "no HF checkpoint — import externally computed "
-                                    "text/vision CLS embeds"),
-    "random-imagebind": ExtractorSpec("imagebind_huge", None, "external", 10,
-                                      note="random-init control variant of imagebind"),
+    # in-framework functional-JAX forward (extraction/imagebind.py): the
+    # public ImageBind-Huge architecture rebuilt TPU-native; pretrained mode
+    # loads the official imagebind_huge.pth via the state-dict converter
+    # ($IMAGEBIND_CKPT), the random variant needs no files
+    "imagebind": ExtractorSpec("imagebind_huge", None, "jax", 10,
+                               note="functional-JAX rebuild (extraction/imagebind.py); "
+                                    "pretrained requires the official FAIR checkpoint "
+                                    "file — set $IMAGEBIND_CKPT "
+                                    "(extract_imagebind_features.py:35-38)"),
+    "random-imagebind": ExtractorSpec("imagebind_huge", None, "jax", 10,
+                                      note="seeded random-init control "
+                                           "(extract_imagebind_features.py:40-42)"),
 }
 
 
@@ -502,6 +505,13 @@ def build_extractor(model_name: str, pretrained: bool = True, dtype=None):
     import transformers
 
     spec = REGISTRY[model_name]
+    if model_name in ("imagebind", "random-imagebind"):
+        from multimodal_decoding_tpu.extraction.imagebind import build_imagebind
+
+        params, cfg, extract = build_imagebind(
+            pretrained=pretrained and model_name == "imagebind"
+        )
+        return params, cfg, extract
     if spec.backend == "external":
         raise ValueError(
             f"'{model_name}' has no in-framework forward pass ({spec.note}); "

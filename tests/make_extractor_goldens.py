@@ -177,6 +177,31 @@ def compute_all() -> dict:
     )
     out["visualbert_fused_mean"] = vbo[FUSED_MEAN_FEAT_KEY]
     out["visualbert_fused_cls"] = vbo[FUSED_CLS_FEAT_KEY]
+
+    # --- in-framework ImageBind (functional JAX, sixth rebuilt family) ----
+    from multimodal_decoding_tpu.extraction import imagebind as IB
+
+    ib_cfg = IB.ImageBindConfig(
+        vision_embed_dim=16, vision_layers=2, vision_heads=2,
+        text_embed_dim=12, text_layers=2, text_heads=2,
+        out_embed_dim=8, image_size=28, patch_size=14, n_frames=2,
+        context_length=10, vocab_size=64,
+    )
+    ib_params = IB.params_from_torch_state_dict(
+        IB.fake_torch_state_dict(ib_cfg, seed=3), ib_cfg
+    )
+    ib_ids = np.zeros((2, ib_cfg.context_length), np.int32)
+    ib_ids[0, :4] = [1, 7, 9, ib_cfg.vocab_size - 1]
+    ib_ids[1, :6] = [1, 3, 5, 7, 9, ib_cfg.vocab_size - 1]
+    ib_px = np.random.RandomState(46).rand(2, 3, 28, 28).astype(np.float32)
+    import jax.numpy as jnp
+
+    out["imagebind_lang_cls"] = np.asarray(
+        IB.text_forward(ib_params, ib_cfg, jnp.asarray(ib_ids))
+    )
+    out["imagebind_vision_cls"] = np.asarray(
+        IB.vision_forward(ib_params, ib_cfg, jnp.asarray(ib_px))
+    )
     return out
 
 

@@ -36,6 +36,7 @@ GOLDEN_KEYS = [
     "flava_lang_cls", "flava_vision_cls", "flava_fused_mean", "flava_fused_cls",
     "vilt_fused_mean", "vilt_fused_cls",
     "visualbert_fused_mean", "visualbert_fused_cls",
+    "imagebind_lang_cls", "imagebind_vision_cls",
 ]
 
 

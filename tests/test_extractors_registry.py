@@ -42,13 +42,15 @@ def test_registry_covers_every_default_features_model():
         assert base in REGISTRY or base == "gabor", f"{model} unresolvable"
 
 
-def test_external_models_raise_with_guidance():
+def test_special_build_paths_raise_with_guidance():
     from multimodal_decoding_tpu.extraction.extractors import build_extractor
 
-    with pytest.raises(ValueError, match="import_external_features"):
-        build_extractor("imagebind")
     with pytest.raises(ValueError, match="visualbert"):
         build_extractor("visualbert")
+    # imagebind is in-framework since round 3, but pretrained mode still
+    # needs the official checkpoint file (zero-egress box: clear error)
+    with pytest.raises(FileNotFoundError, match="IMAGEBIND_CKPT"):
+        build_extractor("imagebind")
 
 
 def test_flava_extractor_emits_multimodal_keys():
