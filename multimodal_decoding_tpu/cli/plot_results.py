@@ -60,6 +60,10 @@ def get_args():
     parser.add_argument("--views", type=str, nargs="+",
                         default=["lateral", "medial", "ventral"])
     parser.add_argument("--method-panels", action="store_true", default=False)
+    parser.add_argument("--method-figures", action="store_true", default=False,
+                        help="render the published method-figure classes "
+                             "(per-view panel tree + composite, "
+                             "searchlight_plot_method.py:42-393)")
     parser.add_argument("--searchlight-out-dir", type=str, default=None)
     parser.add_argument("--out-dir", type=str,
                         default=SEARCHLIGHT_PERMUTATION_TESTING_RESULTS_DIR)
@@ -130,6 +134,16 @@ def main():
                 mesh_by_hemi, per_subject, stats["t_values"], stats["tfce_values"],
                 stats["p_values"], metric, os.path.join(fig_dir, "method"),
             )
+        if args.method_figures:
+            from multimodal_decoding_tpu.viz.figures import plot_method_figures
+
+            per_subject = load_per_subject_scores(cfg)
+            out = plot_method_figures(
+                mesh_by_hemi, per_subject, stats["t_values"], stats["tfce_values"],
+                stats["p_values"], metric, cutoff, args.p_value_threshold,
+                fig_dir, views=tuple(args.views),
+            )
+            written.append(out["composite"])
     for path in written:
         print(f"wrote {path}")
 

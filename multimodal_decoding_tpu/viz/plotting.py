@@ -25,6 +25,12 @@ VIEWS = {
     ("right", "medial"): (0, 180),
     ("left", "ventral"): (270, 0),
     ("right", "ventral"): (270, 0),
+    ("left", "posterior"): (0, 90),
+    ("right", "posterior"): (0, 90),
+    ("left", "anterior"): (0, 270),
+    ("right", "anterior"): (0, 270),
+    ("left", "dorsal"): (90, 0),
+    ("right", "dorsal"): (90, 0),
 }
 
 

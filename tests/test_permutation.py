@@ -293,3 +293,44 @@ def test_null_max_sharded_matches_single_device(pipeline_run, tmp_path):
         np.testing.assert_allclose(
             np.sort(res["null_max"]), out["null_max_sorted"], rtol=1e-5
         )
+
+
+def test_method_figures_from_pipeline(pipeline_run, tmp_path):
+    """The three published method-figure classes + composite assembly render
+    from pipeline artifacts with the reference's conventions
+    (searchlight_plot_method.py:42-393; VERDICT round-2 #7)."""
+    from multimodal_decoding_tpu.viz import figures as F
+
+    out, cfg, mesh = pipeline_run
+    stats = PT.calc_test_statistics(cfg)  # idempotent cache hit
+    per_subject_scores = PT.load_per_subject_scores(cfg)
+    mesh_by_hemi = {"left": mesh, "right": mesh}
+
+    written = F.plot_method_figures(
+        mesh_by_hemi, per_subject_scores, stats["t_values"],
+        stats["tfce_values"], stats["p_values"], cfg.metric,
+        stats["significance_cutoff"], cfg.p_value_threshold,
+        str(tmp_path), views=("lateral", "posterior"),
+    )
+
+    # panel tree layout matches the reference's tmp/<family> contract
+    for metric in F.method_metrics():
+        for view in ("lateral", "posterior"):
+            for hemi in ("left", "right"):
+                p = os.path.join(tmp_path, "tmp", "acc_scores",
+                                 f"{metric}_{view}_{hemi}.png")
+                assert os.path.getsize(p) > 500, p
+        assert os.path.isfile(
+            os.path.join(tmp_path, "tmp", "acc_scores", f"colorbar_{metric}.png"))
+    for fam in ("t-values", "tfce-values"):
+        assert os.path.getsize(os.path.join(
+            tmp_path, "tmp", fam, f"{cfg.metric}_lateral_left.png")) > 500
+        assert os.path.isfile(os.path.join(
+            tmp_path, "tmp", fam, f"colorbar_{cfg.metric}.png"))
+    assert os.path.isfile(os.path.join(tmp_path, "tmp", "p_values", "colorbar.png"))
+    # composite assembled from the panels (create_composite_image parity)
+    assert os.path.getsize(written["composite"]) > 2000
+    from PIL import Image
+
+    img = Image.open(written["composite"])
+    assert img.size[0] > 100 and img.size[1] > 100
