@@ -102,3 +102,32 @@ def test_noise_ceilings(rng):
     for s, (lower, upper) in out.items():
         assert -1 <= lower <= upper <= 1
         assert upper > 0.5  # shared structure dominates
+
+
+def test_intersession_alignment_qc_example(tmp_path):
+    """examples/intersession_alignment_qc.py: MI-based QC across synthetic
+    sessions (intersession_alignment.ipynb pattern; VERDICT round-2 #8)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "intersession_qc",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "examples", "intersession_alignment_qc.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    data = mod.synthetic_sessions(n_subjects=2, n_sessions=3, shape=(12, 14, 10))
+    rows = mod.qc_table(data, bins=32)
+    # 2 subjects x 2 non-reference sessions x 2 variants
+    assert len(rows) == 8
+    # coregistration recovers alignment lost to drift for every subject
+    for subject in data:
+        raw = [r["mutual_information"] for r in rows
+               if r["subject"] == subject and r["variant"] == "raw"]
+        coreg = [r["mutual_information"] for r in rows
+                 if r["subject"] == subject and r["variant"] == "coregistered"]
+        assert np.mean(coreg) > np.mean(raw)
+    out = mod.plot_qc(rows, str(tmp_path / "mi.png"))
+    assert os.path.getsize(out) > 1000
