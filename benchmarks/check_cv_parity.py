@@ -24,7 +24,7 @@ def log(*a):
 
 
 def run_parity(n_blocks: int = 8, cv_solver: str | None = None,
-               cv_scorer: str = "xla") -> dict:
+               cv_scorer: str = "xla", cv_dtype: str | None = None) -> dict:
     """Fast-vs-strict CV parity over planted-signal blocks.
 
     ``cv_solver=None`` resolves to the SHIPPED default for this platform
@@ -44,7 +44,9 @@ def run_parity(n_blocks: int = 8, cv_solver: str | None = None,
 
     if cv_solver is None:
         cv_solver = default_cv_solver()
-    log(f"validating shipped fast path: cv_solver={cv_solver}, cv_scorer={cv_scorer}")
+    sel_dtype = jnp.bfloat16 if cv_dtype == "bfloat16" else None
+    log(f"validating fast path: cv_solver={cv_solver}, cv_scorer={cv_scorer}, "
+        f"cv_dtype={cv_dtype}")
 
     on_accel = jax.devices()[0].platform != "cpu"
     if on_accel:
@@ -67,13 +69,14 @@ def run_parity(n_blocks: int = 8, cv_solver: str | None = None,
     layout = TestLayout.from_stim_types(np.array(["caption"] * 70 + ["image"] * 70))
     log(f"data ready: N={n_train}, K={k}, D={d}, planted signal")
 
-    def run(cv_precision, cv_solver, start, cv_scorer="xla"):
+    def run(cv_precision, cv_solver, start, cv_scorer="xla", cv_dtype_=None):
         idx = ((start + jnp.arange(block)[:, None] + jnp.arange(k)[None, :]) % v_total
                ).astype(jnp.int32)
         return searchlight_block_cv(
             X_all, Y_train, Y_test, Y_imag, idx, None, alphas,
             layout=layout, n_train=n_train, n_test=n_test,
             cv_precision=cv_precision, cv_solver=cv_solver, cv_scorer=cv_scorer,
+            cv_dtype=cv_dtype_,
         )
 
     agree = 0
@@ -82,7 +85,7 @@ def run_parity(n_blocks: int = 8, cv_solver: str | None = None,
     for b in range(n_blocks):
         start = b * block
         fast = run(jax.lax.Precision.DEFAULT, cv_solver, start,
-                   cv_scorer=cv_scorer)
+                   cv_scorer=cv_scorer, cv_dtype_=sel_dtype)
         strict = run(None, None, start, cv_scorer="strict")
         a_fast = np.asarray(fast["best_alpha"])
         a_strict = np.asarray(strict["best_alpha"])
@@ -105,6 +108,7 @@ def run_parity(n_blocks: int = 8, cv_solver: str | None = None,
         "block_size": block,
         "cv_solver": cv_solver,
         "cv_scorer": cv_scorer,
+        "cv_dtype": cv_dtype,
     }
 
 
@@ -116,8 +120,11 @@ def main():
                          "(default: the shipped platform default, "
                          "decoding.searchlight.default_cv_solver)")
     ap.add_argument("--cv-scorer", type=str, default="xla")
+    ap.add_argument("--cv-dtype", type=str, default=None,
+                    choices=[None, "bfloat16"],
+                    help="selection-path storage dtype to validate")
     args = ap.parse_args()
-    out = run_parity(args.blocks, args.cv_solver, args.cv_scorer)
+    out = run_parity(args.blocks, args.cv_solver, args.cv_scorer, args.cv_dtype)
     print(f'{{"alpha_agreement": {out["alpha_agreement"]:.4f}, '
           f'"max_final_score_delta": {out["max_final_score_delta"]:.3e}, '
           f'"blocks": {out["blocks"]}, "block_size": {out["block_size"]}, '

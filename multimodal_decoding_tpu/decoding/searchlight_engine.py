@@ -105,6 +105,8 @@ def fit_block_cv(
     cv_precision=None,
     cv_solver: str | None = None,
     cv_scorer: str = "xla",
+    cv_dtype=None,
+    cv_unroll: bool = False,
 ):
     """Per-vertex alpha selection via K-fold CV (sklearn-split parity).
 
@@ -125,12 +127,28 @@ def fit_block_cv(
     (fold, alpha)); "strict" materialises cosine-distance matrices exactly
     like the final metrics; "pallas" streams similarity tiles
     (ops/pallas_metrics.py).
+
+    ``cv_dtype`` (e.g. jnp.bfloat16) stores the SELECTION-path operands —
+    fold patches, per-alpha weights, scorer inputs — in a narrow dtype so
+    the selection GEMMs run single-pass on the MXU (f32 accumulation via
+    preferred_element_type).  The reference itself feeds float16 inputs to
+    every fit (searchlight.py:247-248), so bf16 selection is morally
+    licensed; the refit gram/solve and the full-gram fold differences stay
+    in f32 at ``precision``.  Gate any default change on the on-device
+    alpha-agreement run (benchmarks/check_cv_parity.py).
     """
     cv_precision = precision if cv_precision is None else cv_precision
     cv_solver = solver if cv_solver is None else cv_solver
     n = X_train_g.shape[0]
     Kdim = X_train_g.shape[-1]
     folds = kfold_indices(n, n_splits)
+    X_sel = X_train_g if cv_dtype is None else X_train_g.astype(cv_dtype)
+    Y_sel = Y_train if cv_dtype is None else Y_train.astype(cv_dtype)
+    if cv_scorer in ("fused", "fused-pallas"):
+        # the fused scorer contracts through K (< D): it needs the patches
+        # in leading-batch layout ONCE instead of a per-(fold, alpha)
+        # operand copy (the reason the plain reassociation measured slower)
+        X_bt = jnp.swapaxes(X_sel, 0, 1)  # [B, N, K]
 
     G_full = jnp.einsum(
         "nbk,nbl->bkl", X_train_g, X_train_g, preferred_element_type=jnp.float32,
@@ -143,28 +161,71 @@ def fit_block_cv(
     eye = jnp.eye(Kdim, dtype=G_full.dtype)
 
     def fold_scores(val_idx):
-        Xv = X_train_g[val_idx]  # [nv, B, K]
+        Xv = X_sel[val_idx]  # [nv, B, K] (cv_dtype storage when set)
         Yv = Y_train[val_idx]
         # scale-invariance: the fold scorer only normalises the latents —
         # prediction row norms cancel in the rank comparisons
         # (M.pairwise_acc_scale_invariant)
         Yv_n = Yv / jnp.linalg.norm(Yv, axis=-1, keepdims=True)
+        Yv_n_sel = Yv_n if cv_dtype is None else Yv_n.astype(cv_dtype)
         G_val = jnp.einsum(
             "nbk,nbl->bkl", Xv, Xv, preferred_element_type=jnp.float32,
             precision=cv_precision,
         )
         XtY_val = jnp.einsum(
-            "nbk,nd->bkd", Xv, Yv, preferred_element_type=jnp.float32,
+            "nbk,nd->bkd", Xv, Y_sel[val_idx], preferred_element_type=jnp.float32,
             precision=cv_precision,
         )
         G_tr = G_full - G_val
         XtY_tr = XtY_full - XtY_val
 
+        if cv_scorer in ("fused", "fused-pallas"):
+            # sim = Xv W Yv_n^T reassociated through K:
+            #   U = XtY_tr Yv_n^T  (once per FOLD, not per alpha)
+            #   sim_a = (Xv) (G+aI)^-1 U  — no [B, nv, D] predictions at all.
+            # Per (fold, alpha) FLOPs drop ~33% vs solve+preds+sim-through-D;
+            # scale-invariant and diag-self-consistent like the xla scorer.
+            from multimodal_decoding_tpu.ops.solvers import spd_inverse
+
+            U = jnp.einsum(
+                "bkd,nd->bkn", XtY_tr, Yv_n_sel,
+                preferred_element_type=jnp.float32, precision=cv_precision,
+            )
+            Xv_b = X_bt[:, np.asarray(val_idx), :]  # [B, nv, K]
+
+            def one_alpha_fused(alpha):
+                inv = spd_inverse(G_tr + alpha * eye, method=cv_solver,
+                                  precision=cv_precision)
+                Z = jnp.matmul(inv, U, preferred_element_type=jnp.float32,
+                               precision=cv_precision)  # [B, K, nv]
+                if cv_scorer == "fused-pallas":
+                    from multimodal_decoding_tpu.ops.pallas_metrics import (
+                        streamed_acc_from_factors,
+                    )
+
+                    return streamed_acc_from_factors(Xv_b, Z,
+                                                     precision=cv_precision)
+                sim = jnp.matmul(Xv_b, Z, preferred_element_type=jnp.float32,
+                                 precision=cv_precision)  # [B, nv, nv]
+                return M.pairwise_acc_from_sim(sim)
+
+            if cv_unroll:
+                return jnp.stack(
+                    [one_alpha_fused(alphas[i]) for i in range(len(alphas))]
+                )
+            return jax.lax.map(one_alpha_fused, alphas)  # [A, B]
+
         def one_alpha(alpha):
             W = spd_solve(G_tr + alpha * eye, XtY_tr, method=cv_solver,
-                          precision=cv_precision)  # [B, K, D]
+                          precision=cv_precision,
+                          apply_dtype=cv_dtype)  # [B, K, D] f32
+            W_sel = W if cv_dtype is None else W.astype(cv_dtype)
+            # with cv_dtype set, emit the predictions directly in the narrow
+            # dtype (MXU still accumulates f32 internally): the [B, nv, D]
+            # f32 intermediate was the HBM peak that barred bf16 at B=128
             preds = jnp.einsum(
-                "nbk,bkd->bnd", Xv, W, preferred_element_type=jnp.float32,
+                "nbk,bkd->bnd", Xv, W_sel,
+                preferred_element_type=jnp.float32 if cv_dtype is None else cv_dtype,
                 precision=cv_precision,
             )
             if cv_scorer == "xla":
@@ -173,7 +234,7 @@ def fit_block_cv(
                 # form sim = Xv (W Yv_n^T) has fewer FLOPs (contracts K < D)
                 # but measured SLOWER (142 vs 158 v/s): the mid-batch Xv
                 # layout forces an operand copy per (fold, alpha).
-                return M.pairwise_acc_scale_invariant(preds, Yv_n,
+                return M.pairwise_acc_scale_invariant(preds, Yv_n_sel,
                                                       precision=cv_precision)
             if cv_scorer == "pallas":
                 from multimodal_decoding_tpu.ops.pallas_metrics import (
@@ -184,6 +245,12 @@ def fit_block_cv(
             dist = M.cosine_distances(preds, Yv, precision=cv_precision)
             return M.pairwise_acc_from_dist(dist)  # [B]
 
+        if cv_unroll:
+            # unrolled alpha sweep: lax.map compiles ONE iteration and runs
+            # it serially, so the solver's sequential recursion tail cannot
+            # overlap the next alpha's scorer GEMMs; unrolling lets XLA
+            # software-pipeline the 6 alphas (bigger program, same math)
+            return jnp.stack([one_alpha(alphas[i]) for i in range(len(alphas))])
         return jax.lax.map(one_alpha, alphas)  # [A, B]
 
     scores = jnp.mean(
@@ -367,6 +434,102 @@ def null_score_block(
     return out
 
 
+def score_and_null_block(
+    preds_test: jnp.ndarray,
+    preds_imag: jnp.ndarray,
+    Y_test: jnp.ndarray,
+    Y_imag: jnp.ndarray,
+    layout: TestLayout,
+    shuffles: jnp.ndarray,
+    imagery_derangements: jnp.ndarray,
+    comp_cross_decoding_scores: bool = True,
+) -> tuple:
+    """Main + null score families sharing the distance/rank-count tensors.
+
+    score_block and null_score_block each standardised the same predictions
+    and materialised the same cosine-distance matrices (VERDICT round-2 #9:
+    "the refit predictions' rank counts are computed twice").  The main
+    accuracy is exactly the rank-count diagonal — ``acc = sum_i C[i, i]`` is
+    the identity-permutation gather — so one distance matrix + one C per
+    metric family serves both outputs, bitwise identically: same einsums at
+    the same precision, same strict comparisons.
+    """
+    cap = np.asarray(layout.caption_sel)
+    img = np.asarray(layout.image_sel)
+    n_imag = preds_imag.shape[-2]
+    if n_imag != 3:
+        raise ValueError(
+            "null scoring uses the reference's 3-element imagery derangements "
+            f"(searchlight.py:35); got {n_imag} imagery stimuli"
+        )
+    derangements = jnp.asarray([[1, 2, 0], [2, 0, 1]], dtype=jnp.int32)
+    der_idx = derangements[imagery_derangements]  # [B, P, 3]
+
+    def gather_perm_diag(C, perm):
+        if perm.ndim == 2:
+            perm = jnp.broadcast_to(perm[None], (C.shape[0],) + perm.shape)
+        b_idx = jnp.arange(C.shape[0])[:, None, None]
+        i_idx = jnp.arange(C.shape[1])[None, None, :]
+        return C[b_idx, i_idx, perm]
+
+    def main_acc_from_counts(C, n, m):
+        diag = jnp.diagonal(C, axis1=-2, axis2=-1)
+        return jnp.sum(diag, axis=-1) / (n * m - min(n, m))
+
+    P_cap = M.standardize(preds_test[:, cap, :])
+    P_img = M.standardize(preds_test[:, img, :])
+    L_cap = Y_test[cap]
+    L_img = Y_test[img]
+
+    main, null = {}, {}
+
+    def modality(P_std, L, sel, name):
+        n = len(sel)
+        dist = M.cosine_distances(P_std, L)
+        C = _rank_counts(dist)
+        main[name] = main_acc_from_counts(C, n, n)
+        sel_arr = jnp.asarray(sel)
+        inv = jnp.zeros((Y_test.shape[0],), dtype=jnp.int32).at[sel_arr].set(
+            jnp.arange(len(sel), dtype=jnp.int32)
+        )
+        local = inv[shuffles[:, sel_arr]]
+        null[name] = jnp.sum(gather_perm_diag(C, local), axis=-1) / (n * n - n)
+
+    modality(P_cap, L_cap, cap, M.ACC_CAPTIONS)
+    modality(P_img, L_img, img, M.ACC_IMAGES)
+    if comp_cross_decoding_scores:
+        main[M.ACC_CROSS_CAPTIONS_TO_IMAGES] = _acc(M.cosine_distances(P_cap, L_img))
+        main[M.ACC_CROSS_IMAGES_TO_CAPTIONS] = _acc(M.cosine_distances(P_img, L_cap))
+
+    L_whole = jnp.concatenate((Y_imag, Y_test), axis=0)
+    m_whole = L_whole.shape[0]
+    for suffix, P_im in (("", M.standardize(preds_imag)), ("_no_std", preds_imag)):
+        C_im = _rank_counts(M.cosine_distances(P_im, Y_imag))
+        main[M.ACC_IMAGERY + suffix] = main_acc_from_counts(C_im, n_imag, n_imag)
+        null[M.ACC_IMAGERY + suffix] = jnp.sum(
+            gather_perm_diag(C_im, der_idx), axis=-1
+        ) / (n_imag * n_imag - n_imag)
+
+        C_iw = _rank_counts(M.cosine_distances(P_im, L_whole))
+        main[M.ACC_IMAGERY_WHOLE_TEST + suffix] = main_acc_from_counts(
+            C_iw, n_imag, m_whole
+        )
+        null[M.ACC_IMAGERY_WHOLE_TEST + suffix] = jnp.sum(
+            gather_perm_diag(C_iw, der_idx), axis=-1
+        ) / (n_imag * m_whole - n_imag)
+
+    # key order parity with score_block/null_score_block outputs
+    main_order = [M.ACC_CAPTIONS, M.ACC_IMAGES]
+    if comp_cross_decoding_scores:
+        main_order += [M.ACC_CROSS_CAPTIONS_TO_IMAGES, M.ACC_CROSS_IMAGES_TO_CAPTIONS]
+    main_order += [M.ACC_IMAGERY, M.ACC_IMAGERY_WHOLE_TEST,
+                   M.ACC_IMAGERY + "_no_std", M.ACC_IMAGERY_WHOLE_TEST + "_no_std"]
+    null_order = [M.ACC_CAPTIONS, M.ACC_IMAGES,
+                  M.ACC_IMAGERY, M.ACC_IMAGERY_WHOLE_TEST,
+                  M.ACC_IMAGERY + "_no_std", M.ACC_IMAGERY_WHOLE_TEST + "_no_std"]
+    return ({k: main[k] for k in main_order}, {k: null[k] for k in null_order})
+
+
 # ---------------------------------------------------------------------------
 # Jitted block step factories
 # ---------------------------------------------------------------------------
@@ -439,19 +602,17 @@ def searchlight_block_with_null(
     W = fit_block(Xtr, Y_train, alpha, precision=precision, solver=solver)
     preds_test = predict_block(Xte, W, precision=precision)
     preds_imag = predict_block(Xim, W, precision=precision)
-    main = score_block(
-        preds_test, preds_imag, Y_test, Y_imag, layout, comp_cross_decoding_scores=comp_cross
+    return score_and_null_block(
+        preds_test, preds_imag, Y_test, Y_imag, layout, shuffles,
+        imagery_derangements, comp_cross_decoding_scores=comp_cross,
     )
-    null = null_score_block(
-        preds_test, preds_imag, Y_test, Y_imag, layout, shuffles, imagery_derangements
-    )
-    return main, null
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits",
-                     "solver", "cv_precision", "cv_solver", "cv_scorer"),
+                     "solver", "cv_precision", "cv_solver", "cv_scorer", "cv_dtype",
+                     "cv_unroll"),
 )
 def searchlight_block_cv_with_null(
     X_all,
@@ -474,6 +635,8 @@ def searchlight_block_cv_with_null(
     cv_precision=None,
     cv_solver: str | None = None,
     cv_scorer: str = "xla",
+    cv_dtype=None,
+    cv_unroll: bool = False,
 ):
     """CV block step that also emits the per-shuffle null score family.
 
@@ -491,24 +654,24 @@ def searchlight_block_cv_with_null(
     W, best_alpha, _ = fit_block_cv(Xtr, Y_train, alphas, n_splits,
                                     precision=precision, solver=solver,
                                     cv_precision=cv_precision, cv_solver=cv_solver,
-                                    cv_scorer=cv_scorer)
+                                    cv_scorer=cv_scorer, cv_dtype=cv_dtype,
+                                    cv_unroll=cv_unroll)
     preds_test = predict_block(Xte, W, precision=precision)
     preds_imag = predict_block(Xim, W, precision=precision)
-    main = score_block(
-        preds_test, preds_imag, Y_test, Y_imag, layout, comp_cross_decoding_scores=comp_cross
+    main, null = score_and_null_block(
+        preds_test, preds_imag, Y_test, Y_imag, layout, shuffles,
+        imagery_derangements, comp_cross_decoding_scores=comp_cross,
     )
     main = dict(main)
     main["best_alpha"] = best_alpha
-    null = null_score_block(
-        preds_test, preds_imag, Y_test, Y_imag, layout, shuffles, imagery_derangements
-    )
     return main, null
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits",
-                     "solver", "cv_precision", "cv_solver", "cv_scorer"),
+                     "solver", "cv_precision", "cv_solver", "cv_scorer", "cv_dtype",
+                     "cv_unroll"),
 )
 def searchlight_block_cv(
     X_all,
@@ -529,6 +692,8 @@ def searchlight_block_cv(
     cv_precision=None,
     cv_solver: str | None = None,
     cv_scorer: str = "xla",
+    cv_dtype=None,
+    cv_unroll: bool = False,
 ):
     """Block step with per-vertex CV alpha selection (BASELINE searchlight config)."""
     patches = gather_patches(X_all, idx, mask)
@@ -538,7 +703,8 @@ def searchlight_block_cv(
     W, best_alpha, cv_scores = fit_block_cv(Xtr, Y_train, alphas, n_splits,
                                             precision=precision, solver=solver,
                                             cv_precision=cv_precision,
-                                            cv_solver=cv_solver, cv_scorer=cv_scorer)
+                                            cv_solver=cv_solver, cv_scorer=cv_scorer,
+                                            cv_dtype=cv_dtype, cv_unroll=cv_unroll)
     preds_test = predict_block(Xte, W, precision=precision)
     preds_imag = predict_block(Xim, W, precision=precision)
     scores = score_block(

@@ -107,3 +107,87 @@ def streamed_pairwise_acc(preds: jnp.ndarray, latents: jnp.ndarray,
 
     total = jnp.sum(counts[:, :nv, 0], axis=-1)
     return total / (nv * nv - nv)
+
+
+def _factor_count_kernel(x_ref, z_ref, out_ref, diag_ref, *, nv: int, ti: int,
+                         n_tiles: int, precision):
+    """One (batch, row-tile, col-tile) step of the K-factored streamed scorer.
+
+    sim tile = X row-tile @ Z col-tile computed in VMEM; the COLUMN tiles are
+    visited in shifted-diagonal order (col j maps to tile (row + j) % n),
+    so step j=0 of every row is its diagonal tile: the diagonal is extracted
+    from the kernel's own GEMM output (rounding-consistent with every
+    off-diagonal comparison — the property that keeps alpha agreement exact)
+    and cached in VMEM scratch for the remaining column tiles.
+    """
+    t = pl.program_id(1)
+    j = pl.program_id(2)
+    sim = jax.lax.dot_general(
+        x_ref[:], z_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # [BT, TI, TI]
+    col_tile = jax.lax.rem(t + j, n_tiles)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, ti, ti), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, ti, ti), 2)
+
+    @pl.when(j == 0)
+    def _():
+        diag_ref[:] = jnp.sum(jnp.where(col == row, sim, 0.0),
+                              axis=-1, keepdims=True)  # [BT, TI, 1]
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    valid = (col_tile * ti + col) < nv
+    beaten = jnp.logical_and(sim < diag_ref[:], valid)
+    out_ref[:] += jnp.sum(beaten.astype(jnp.float32), axis=-1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+def streamed_acc_from_factors(Xv_b: jnp.ndarray, Z: jnp.ndarray,
+                              precision=jax.lax.Precision.DEFAULT,
+                              interpret: bool | None = None) -> jnp.ndarray:
+    """Pairwise accuracy [B] of sim = Xv_b @ Z without materialising sim.
+
+    ``Xv_b`` [B, nv, K] fold patches (leading-batch layout), ``Z`` [B, K, nv]
+    = (G+aI)^-1 (XtY Yv_n^T): the K-factored form of preds @ Yv_n^T.  The
+    [B, nv, nv] similarity matrix (1.4 GB at production shapes, 30x per
+    block) exists only as VMEM tiles.  Scale-invariant counting semantics of
+    pairwise_acc_from_sim.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    b, nv, k = Xv_b.shape
+    ti = 128
+    nv_pad = _round_up(nv, ti)
+    k_pad = _round_up(k, 128)
+    x = jnp.pad(Xv_b, ((0, 0), (0, nv_pad - nv), (0, k_pad - k)))
+    z = jnp.pad(Z, ((0, 0), (0, k_pad - k), (0, nv_pad - nv)))
+    n_tiles = nv_pad // ti
+
+    bt = 2
+    while b % bt != 0:
+        bt -= 1
+
+    counts = pl.pallas_call(
+        functools.partial(_factor_count_kernel, nv=nv, ti=ti, n_tiles=n_tiles,
+                          precision=precision),
+        grid=(b // bt, n_tiles, n_tiles),
+        in_specs=[
+            pl.BlockSpec((bt, ti, k_pad), lambda i, t, j: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            # shifted-diagonal column order: j=0 is the diagonal tile
+            pl.BlockSpec((bt, k_pad, ti),
+                         lambda i, t, j, _n=n_tiles: (i, 0, (t + j) % _n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, ti, 1), lambda i, t, j: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nv_pad, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, ti, 1), jnp.float32)],
+        interpret=interpret,
+    )(x, z)
+
+    total = jnp.sum(counts[:, :nv, 0], axis=-1)
+    return total / (nv * nv - nv)

@@ -123,8 +123,33 @@ def spd_inverse_via_tri(A: jnp.ndarray, base: int = 128,
     return _matmul(jnp.swapaxes(L_inv, -1, -2), L_inv, precision)
 
 
+def spd_inverse(A: jnp.ndarray, method: str = "schur-pallas",
+                precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
+    """Batched SPD inverse with the same method vocabulary as spd_solve.
+
+    For callers that reuse the inverse against several right-hand sides
+    (the fused CV fold scorer applies it to U = XtY Yv_n^T instead of XtY,
+    contracting through K < D)."""
+    if method == "cholesky":
+        cho = jax.scipy.linalg.cho_factor(A, lower=True)
+        eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+        return jax.scipy.linalg.cho_solve(cho, eye)
+    if method == "schur":
+        return schur_spd_inverse(A, precision=precision)
+    if method == "schur-cb":
+        return schur_spd_inverse(A, precision=precision, base_method="cholesky")
+    if method == "schur-pallas":
+        return schur_spd_inverse(A, base=192, precision=precision,
+                                 base_method="pallas")
+    if method == "pallas":
+        from multimodal_decoding_tpu.ops.pallas_solvers import blocked_spd_inverse
+
+        return blocked_spd_inverse(A, precision=precision)
+    raise ValueError(f"unknown SPD inverse method: {method}")
+
+
 def spd_solve(A: jnp.ndarray, B: jnp.ndarray, method: str = "cholesky",
-              precision=jax.lax.Precision.DEFAULT) -> jnp.ndarray:
+              precision=jax.lax.Precision.DEFAULT, apply_dtype=None) -> jnp.ndarray:
     """Solve A X = B for batched SPD A.
 
     method="cholesky": jax.scipy cho_factor/cho_solve (exact-parity default).
@@ -136,15 +161,28 @@ def spd_solve(A: jnp.ndarray, B: jnp.ndarray, method: str = "cholesky",
     method="pallas": Pallas panel-kernel blocked inverse (ops/pallas_solvers).
     method="schur-pallas": XLA Schur recursion with Pallas base blocks — the
       measured fastest on TPU (benchmarks/profile_solvers.py).
+
+    ``apply_dtype`` (inverse-based methods only, selection-grade): cast the
+    inverse and RHS to a narrow dtype for the APPLY GEMM so it runs
+    single-pass on the MXU with f32 accumulation.  The recursion/factorise
+    stays f32 — bf16 storage through the recursion measured SLOWER (the
+    casts eat the traffic saving, docs/PERF_NOTES.md solver ladder); only
+    the big clean apply GEMM benefits.
     """
+
+    def apply(inv, rhs):
+        if apply_dtype is not None:
+            return _matmul(inv.astype(apply_dtype), rhs.astype(apply_dtype), precision)
+        return _matmul(inv, rhs, precision)
+
     if method == "cholesky":
         cho = jax.scipy.linalg.cho_factor(A, lower=True)
         return jax.scipy.linalg.cho_solve(cho, B)
     if method == "schur":
-        return _matmul(schur_spd_inverse(A, precision=precision), B, precision)
+        return apply(schur_spd_inverse(A, precision=precision), B)
     if method == "schur-cb":
-        return _matmul(
-            schur_spd_inverse(A, precision=precision, base_method="cholesky"), B, precision
+        return apply(
+            schur_spd_inverse(A, precision=precision, base_method="cholesky"), B
         )
     if method in ("schur-cb16", "schur-cb16-ns"):
         # bfloat16-storage recursion (memory-bound op: ~2x traffic saving);
@@ -164,16 +202,16 @@ def spd_solve(A: jnp.ndarray, B: jnp.ndarray, method: str = "cholesky",
             inv = _matmul(inv, eye2 - _matmul(A_s, inv, hi), hi)
         return _matmul(inv / scale, B, precision)
     if method == "tri-inv":
-        return _matmul(spd_inverse_via_tri(A, precision=precision), B, precision)
+        return apply(spd_inverse_via_tri(A, precision=precision), B)
     if method == "pallas":
         from multimodal_decoding_tpu.ops.pallas_solvers import blocked_spd_inverse
 
-        return _matmul(blocked_spd_inverse(A, precision=precision), B, precision)
+        return apply(blocked_spd_inverse(A, precision=precision), B)
     if method == "schur-pallas":
         # XLA Schur recursion for the big GEMMs, Pallas batched chol-inverse
         # kernel at the (large) base blocks: the two measured winners fused
-        return _matmul(
+        return apply(
             schur_spd_inverse(A, base=192, precision=precision, base_method="pallas"),
-            B, precision,
+            B,
         )
     raise ValueError(f"unknown SPD solver: {method}")

@@ -102,6 +102,7 @@ def run_searchlight(
     cv_precision=None,
     cv_solver: str | None = None,
     cv_scorer: str = "xla",
+    cv_dtype=None,
     progress: bool = True,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 64,
@@ -216,6 +217,7 @@ def run_searchlight(
                 jnp.asarray(alphas_cv, dtype=jnp.float32), shuffles_d, der,
                 layout=layout, n_train=n_train, n_test=n_test, precision=precision,
                 cv_precision=cv_precision, cv_solver=cv_solver, cv_scorer=cv_scorer,
+                cv_dtype=cv_dtype,
             )
             results.append(main)
             null_results.append(null)
@@ -225,6 +227,7 @@ def run_searchlight(
                 jnp.asarray(alphas_cv, dtype=jnp.float32),
                 layout=layout, n_train=n_train, n_test=n_test, precision=precision,
                 cv_precision=cv_precision, cv_solver=cv_solver, cv_scorer=cv_scorer,
+                cv_dtype=cv_dtype,
             )
             results.append(out)
         elif use_null:

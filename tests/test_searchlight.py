@@ -292,3 +292,85 @@ def test_cv_parity_gate_runs_in_ci():
     assert out["cv_solver"] == "schur-cb"  # CPU platform default
     assert out["alpha_agreement"] == 1.0
     assert out["max_final_score_delta"] == 0.0
+
+
+def test_cv_bf16_selection_path(rng):
+    """cv_dtype=bfloat16 selection: alpha argmax matches strict on planted
+    signal, and agreeing vertices get bitwise-identical final scores (the
+    refit never touches the bf16 copies)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_train, k, d, v = 160, 24, 16, 48
+    Ytr = rng.randn(n_train, d).astype(np.float32)
+    Yte = rng.randn(10, d).astype(np.float32)
+    Yim = rng.randn(3, d).astype(np.float32)
+    W = rng.randn(d, v).astype(np.float32) * 0.3
+    X_all = np.concatenate([Ytr, Yte, Yim]) @ W
+    X_all += rng.randn(*X_all.shape).astype(np.float32)
+    adj = np.stack([rng.choice(v, size=k, replace=False) for _ in range(v)]).astype(np.int32)
+    layout = E.TestLayout.from_stim_types(np.array(["caption"] * 5 + ["image"] * 5))
+    alphas = np.asarray([1e0, 1e2, 1e4], dtype=np.float32)
+
+    kw = dict(layout=layout, n_train=n_train, n_test=10)
+    strict = E.searchlight_block_cv(
+        X_all, Ytr, Yte, Yim, adj, None, alphas, cv_scorer="strict", **kw
+    )
+    fast = E.searchlight_block_cv(
+        X_all, Ytr, Yte, Yim, adj, None, alphas,
+        cv_precision=jax.lax.Precision.DEFAULT, cv_solver="schur-cb",
+        cv_dtype=jnp.bfloat16, **kw
+    )
+    agree = np.asarray(fast["best_alpha"]) == np.asarray(strict["best_alpha"])
+    assert agree.mean() >= 0.95, agree.mean()
+    for m in strict:
+        if m == "best_alpha":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(fast[m])[agree], np.asarray(strict[m])[agree], err_msg=m
+        )
+
+
+def test_cv_fused_scorers_match_xla(rng):
+    """The K-factored fold scorers (fused / fused-pallas streamed tiles)
+    reproduce the xla scale-invariant fold scores and alpha selection."""
+    import jax
+
+    n_train, k, d, v = 160, 24, 40, 48
+    Ytr = rng.randn(n_train, d).astype(np.float32)
+    W = rng.randn(d, v).astype(np.float32) * 0.3
+    Xtr = (Ytr @ W + rng.randn(n_train, v)).astype(np.float32)
+    adj = np.stack([rng.choice(v, size=k, replace=False) for _ in range(v)]).astype(np.int32)
+    alphas = np.asarray([1e0, 1e2, 1e4], dtype=np.float32)
+    patches = E.gather_patches(Xtr, adj)
+
+    outs = {}
+    for scorer in ("xla", "fused", "fused-pallas"):
+        outs[scorer] = E.fit_block_cv(
+            patches, Ytr, alphas, n_splits=5,
+            cv_precision=jax.lax.Precision.HIGHEST, cv_solver="schur-cb",
+            cv_scorer=scorer,
+        )
+    _, best_x, scores_x = outs["xla"]
+    for scorer in ("fused", "fused-pallas"):
+        _, best, scores = outs[scorer]
+        np.testing.assert_allclose(np.asarray(scores), np.asarray(scores_x),
+                                   atol=5e-5, err_msg=scorer)
+        np.testing.assert_array_equal(np.asarray(best), np.asarray(best_x))
+    # the two fused variants see identical sim values -> identical counts
+    np.testing.assert_allclose(np.asarray(outs["fused"][2]),
+                               np.asarray(outs["fused-pallas"][2]), atol=1e-7)
+
+
+def test_streamed_acc_from_factors_matches_dense(rng):
+    """Kernel semantics across tile boundaries, non-multiple nv, batch tiles."""
+    from multimodal_decoding_tpu.ops import metrics as M
+    from multimodal_decoding_tpu.ops.pallas_metrics import streamed_acc_from_factors
+
+    for b, nv, k in [(3, 150, 20), (2, 128, 7), (5, 260, 33)]:
+        X = rng.randn(b, nv, k).astype(np.float32)
+        Z = rng.randn(b, k, nv).astype(np.float32)
+        dense = M.pairwise_acc_from_sim(np.einsum("bik,bkj->bij", X, Z))
+        streamed = streamed_acc_from_factors(X, Z)
+        np.testing.assert_allclose(np.asarray(streamed), np.asarray(dense),
+                                   atol=1e-6, err_msg=f"{b},{nv},{k}")
