@@ -76,6 +76,32 @@ def main():
                        cv_dtype=None, cv_unroll=True),
         "unroll-bf16": dict(cv_solver="schur-pallas", cv_scorer="xla",
                             cv_dtype=jnp.bfloat16, cv_unroll=True),
+        # single-MXU-pass dot algorithm with f32 operands: the MXU truncates
+        # on read, so no cast ops, no bf16 copies, no extra HBM — candidate
+        # replacement for DEFAULT (= BF16_BF16_F32_X3, 3 passes) on the
+        # whole selection path including the solver recursion GEMMs
+        "algo1": dict(cv_solver="schur-pallas", cv_scorer="xla", cv_dtype=None,
+                      cv_precision=jax.lax.DotAlgorithmPreset.BF16_BF16_F32),
+        "algo1-cb": dict(cv_solver="schur-cb", cv_scorer="xla", cv_dtype=None,
+                         cv_precision=jax.lax.DotAlgorithmPreset.BF16_BF16_F32),
+        "algo1-fused-pallas": dict(
+            cv_solver="schur-cb", cv_scorer="fused-pallas", cv_dtype=None,
+            cv_precision=jax.lax.DotAlgorithmPreset.BF16_BF16_F32),
+        "fused-inv": dict(cv_solver="schur-pallas", cv_scorer="fused-inv",
+                         cv_dtype=None),
+        "algo1-fused-inv": dict(
+            cv_solver="schur-cb", cv_scorer="fused-inv", cv_dtype=None,
+            cv_precision=jax.lax.DotAlgorithmPreset.BF16_BF16_F32),
+        "abatch2": dict(cv_solver="schur-pallas", cv_scorer="xla", cv_dtype=None,
+                        cv_alpha_batch=2),
+        "abatch3": dict(cv_solver="schur-pallas", cv_scorer="xla", cv_dtype=None,
+                        cv_alpha_batch=3),
+        "abatch6": dict(cv_solver="schur-pallas", cv_scorer="xla", cv_dtype=None,
+                        cv_alpha_batch=6),
+        "abatch3-bf16": dict(cv_solver="schur-pallas", cv_scorer="xla",
+                             cv_dtype=jnp.bfloat16, cv_alpha_batch=3),
+        "algo-x3": dict(cv_solver="schur-pallas", cv_scorer="xla", cv_dtype=None,
+                        cv_precision=jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3),
     }
 
     for block in args.block_sizes:
@@ -85,6 +111,7 @@ def main():
 
         for name in args.variants:
             spec = dict(VARIANTS[name])
+            cv_precision = spec.pop("cv_precision", jax.lax.Precision.DEFAULT)
             apply_only = spec.pop("apply_only", False)
             if apply_only:
                 # cv_dtype=None but apply GEMM in bf16: emulate by a solver
@@ -106,7 +133,7 @@ def main():
                     scores = E.searchlight_block_cv(
                         xa, ytr, yte, yim, block_idx(start), None, alphas,
                         layout=layout, n_train=n_train, n_test=n_test,
-                        cv_precision=jax.lax.Precision.DEFAULT, **spec,
+                        cv_precision=cv_precision, **spec,
                     )
                     return acc + sum(s.sum() for s in scores.values() )
 

@@ -90,6 +90,14 @@ def main():
             raise SystemExit(str(e)) from None
         batch_size = args.batch_size or REGISTRY[args.model].batch_size
         model_name = f"random-{args.model}" if args.random_init else args.model
+        note = getattr(REGISTRY[args.model], "note", None)
+        if note:
+            # surface checkpoint-provenance caveats (e.g. BLIP-2 rebuilt on
+            # the transformers ITM checkpoint, not the LAVIS pretrain — the
+            # recipe matches but features are not numerically interchangeable
+            # with reference pickles) at extraction time, not only in the
+            # registry source
+            print(f"[{args.model}] note: {note}", flush=True)
 
     run_extraction(extract_fn, model_name, dataset, batch_size, args.out_path)
 

@@ -107,6 +107,7 @@ def fit_block_cv(
     cv_scorer: str = "xla",
     cv_dtype=None,
     cv_unroll: bool = False,
+    cv_alpha_batch: bool = False,
 ):
     """Per-vertex alpha selection via K-fold CV (sklearn-split parity).
 
@@ -142,13 +143,11 @@ def fit_block_cv(
     n = X_train_g.shape[0]
     Kdim = X_train_g.shape[-1]
     folds = kfold_indices(n, n_splits)
-    X_sel = X_train_g if cv_dtype is None else X_train_g.astype(cv_dtype)
+    # cv_dtype casts happen on the PER-FOLD slices below, never on the full
+    # patch tensor: a whole-X bf16 copy coexists with the f32 original that
+    # the refit-parity gram needs, and that extra 1.5 GB OOMs B=128 on the
+    # 16 GB chip (measured).  Per-fold slice casts are ~300 MB transients.
     Y_sel = Y_train if cv_dtype is None else Y_train.astype(cv_dtype)
-    if cv_scorer in ("fused", "fused-pallas"):
-        # the fused scorer contracts through K (< D): it needs the patches
-        # in leading-batch layout ONCE instead of a per-(fold, alpha)
-        # operand copy (the reason the plain reassociation measured slower)
-        X_bt = jnp.swapaxes(X_sel, 0, 1)  # [B, N, K]
 
     G_full = jnp.einsum(
         "nbk,nbl->bkl", X_train_g, X_train_g, preferred_element_type=jnp.float32,
@@ -161,7 +160,9 @@ def fit_block_cv(
     eye = jnp.eye(Kdim, dtype=G_full.dtype)
 
     def fold_scores(val_idx):
-        Xv = X_sel[val_idx]  # [nv, B, K] (cv_dtype storage when set)
+        Xv = X_train_g[val_idx]  # [nv, B, K]
+        if cv_dtype is not None:
+            Xv = Xv.astype(cv_dtype)
         Yv = Y_train[val_idx]
         # scale-invariance: the fold scorer only normalises the latents —
         # prediction row norms cancel in the rank comparisons
@@ -179,23 +180,38 @@ def fit_block_cv(
         G_tr = G_full - G_val
         XtY_tr = XtY_full - XtY_val
 
-        if cv_scorer in ("fused", "fused-pallas"):
+        if cv_scorer in ("fused", "fused-pallas", "fused-inv"):
             # sim = Xv W Yv_n^T reassociated through K:
             #   U = XtY_tr Yv_n^T  (once per FOLD, not per alpha)
             #   sim_a = (Xv) (G+aI)^-1 U  — no [B, nv, D] predictions at all.
-            # Per (fold, alpha) FLOPs drop ~33% vs solve+preds+sim-through-D;
+            # Per (fold, alpha) FLOPs drop ~31% vs solve+preds+sim-through-D;
             # scale-invariant and diag-self-consistent like the xla scorer.
+            # Measured on device (N=8192, B=128): "fused" through the dense
+            # XLA sim is SLOWER than "xla" (135 vs 158 v/s — same [B,nv,nv]
+            # materialisation, and the Z apply has nv > D columns); only the
+            # "fused-pallas" streamed-count form banks the FLOP cut.  The
+            # per-FOLD transpose below is deliberate: a whole-X [B, N, K]
+            # pre-transpose doubles patch storage and OOMs the 16 GB chip.
             from multimodal_decoding_tpu.ops.solvers import spd_inverse
 
             U = jnp.einsum(
                 "bkd,nd->bkn", XtY_tr, Yv_n_sel,
                 preferred_element_type=jnp.float32, precision=cv_precision,
             )
-            Xv_b = X_bt[:, np.asarray(val_idx), :]  # [B, nv, K]
+            Xv_b = jnp.swapaxes(Xv, 0, 1)  # [B, nv, K], once per fold
 
             def one_alpha_fused(alpha):
                 inv = spd_inverse(G_tr + alpha * eye, method=cv_solver,
                                   precision=cv_precision)
+                if cv_scorer == "fused-inv":
+                    # fully fused: Z = inv @ U lives only in the count
+                    # kernel's VMEM scratch — no [B, K, nv] HBM roundtrip
+                    from multimodal_decoding_tpu.ops.pallas_metrics import (
+                        streamed_acc_from_inv,
+                    )
+
+                    return streamed_acc_from_inv(Xv_b, inv, U,
+                                                 precision=cv_precision)
                 Z = jnp.matmul(inv, U, preferred_element_type=jnp.float32,
                                precision=cv_precision)  # [B, K, nv]
                 if cv_scorer == "fused-pallas":
@@ -244,6 +260,50 @@ def fit_block_cv(
                 return streamed_pairwise_acc(preds, Yv, precision=cv_precision)
             dist = M.cosine_distances(preds, Yv, precision=cv_precision)
             return M.pairwise_acc_from_dist(dist)  # [B]
+
+        if cv_alpha_batch:
+            # ONE inverse over a CHUNK of alpha-shifted systems at once:
+            # [chunk*B, K, K] instead of chunk sequential batch-B recursions.
+            # Same FLOPs, but the recursion's sequential critical path (panel
+            # factorisations, level dependencies) is paid once per chunk —
+            # the measured per-solve rate (~7 TF/s at B=128) is dependency-
+            # bound, not FLOP-bound, so the bigger batch feeds the idle MXU.
+            # Chunking bounds the extra HBM: full 6-alpha batching costs
+            # 2x [6, B, K, K] f32 transients (~3.4 GB) and OOMs B=128
+            # alongside the 3 GB patch tensor (measured); chunk=2/3 keeps
+            # most of the win at ~1.1-1.7 GB.
+            from multimodal_decoding_tpu.ops.solvers import spd_inverse
+
+            a_cnt = alphas.shape[0]
+            chunk = a_cnt if cv_alpha_batch is True else int(cv_alpha_batch)
+            if a_cnt % chunk != 0:
+                raise ValueError(
+                    f"cv_alpha_batch={chunk} must divide n_alphas={a_cnt}")
+            Bb = G_tr.shape[0]
+
+            def one_alpha_b(inv):
+                W = jnp.matmul(inv, XtY_tr, preferred_element_type=jnp.float32,
+                               precision=cv_precision)
+                W_sel = W if cv_dtype is None else W.astype(cv_dtype)
+                preds = jnp.einsum(
+                    "nbk,bkd->bnd", Xv, W_sel,
+                    preferred_element_type=jnp.float32 if cv_dtype is None else cv_dtype,
+                    precision=cv_precision,
+                )
+                return M.pairwise_acc_scale_invariant(preds, Yv_n_sel,
+                                                      precision=cv_precision)
+
+            def chunk_scores(al_c):
+                A_all = G_tr[None] + al_c[:, None, None, None] * eye
+                inv_all = spd_inverse(
+                    A_all.reshape((chunk * Bb,) + G_tr.shape[1:]),
+                    method=cv_solver, precision=cv_precision,
+                ).reshape(A_all.shape)
+                return jax.lax.map(one_alpha_b, inv_all)  # [chunk, B]
+
+            return jax.lax.map(
+                chunk_scores, alphas.reshape(a_cnt // chunk, chunk)
+            ).reshape(a_cnt, Bb)  # [A, B]
 
         if cv_unroll:
             # unrolled alpha sweep: lax.map compiles ONE iteration and runs
@@ -612,7 +672,7 @@ def searchlight_block_with_null(
     jax.jit,
     static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits",
                      "solver", "cv_precision", "cv_solver", "cv_scorer", "cv_dtype",
-                     "cv_unroll"),
+                     "cv_unroll", "cv_alpha_batch"),
 )
 def searchlight_block_cv_with_null(
     X_all,
@@ -637,6 +697,7 @@ def searchlight_block_cv_with_null(
     cv_scorer: str = "xla",
     cv_dtype=None,
     cv_unroll: bool = False,
+    cv_alpha_batch: bool = False,
 ):
     """CV block step that also emits the per-shuffle null score family.
 
@@ -655,7 +716,8 @@ def searchlight_block_cv_with_null(
                                     precision=precision, solver=solver,
                                     cv_precision=cv_precision, cv_solver=cv_solver,
                                     cv_scorer=cv_scorer, cv_dtype=cv_dtype,
-                                    cv_unroll=cv_unroll)
+                                    cv_unroll=cv_unroll,
+                                    cv_alpha_batch=cv_alpha_batch)
     preds_test = predict_block(Xte, W, precision=precision)
     preds_imag = predict_block(Xim, W, precision=precision)
     main, null = score_and_null_block(
@@ -671,7 +733,7 @@ def searchlight_block_cv_with_null(
     jax.jit,
     static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits",
                      "solver", "cv_precision", "cv_solver", "cv_scorer", "cv_dtype",
-                     "cv_unroll"),
+                     "cv_unroll", "cv_alpha_batch"),
 )
 def searchlight_block_cv(
     X_all,
@@ -694,6 +756,7 @@ def searchlight_block_cv(
     cv_scorer: str = "xla",
     cv_dtype=None,
     cv_unroll: bool = False,
+    cv_alpha_batch: bool = False,
 ):
     """Block step with per-vertex CV alpha selection (BASELINE searchlight config)."""
     patches = gather_patches(X_all, idx, mask)
@@ -704,7 +767,8 @@ def searchlight_block_cv(
                                             precision=precision, solver=solver,
                                             cv_precision=cv_precision,
                                             cv_solver=cv_solver, cv_scorer=cv_scorer,
-                                            cv_dtype=cv_dtype, cv_unroll=cv_unroll)
+                                            cv_dtype=cv_dtype, cv_unroll=cv_unroll,
+                                            cv_alpha_batch=cv_alpha_batch)
     preds_test = predict_block(Xte, W, precision=precision)
     preds_imag = predict_block(Xim, W, precision=precision)
     scores = score_block(

@@ -467,7 +467,10 @@ REGISTRY = {
                            "torch", 50, "Blip2ForImageTextRetrieval", "Blip2Processor",
                            note="LAVIS blip2_feature_extractor recipe rebuilt on the "
                                 "transformers ITM checkpoint (Q-Former image/text/"
-                                "multimodal modes)"),
+                                "multimodal modes); DIFFERENT CHECKPOINT than the "
+                                "reference's LAVIS 'pretrain' — recipe-equivalent but "
+                                "features are not numerically interchangeable with "
+                                "reference pickles"),
     "paligemma2": ExtractorSpec("google/paligemma2-3b-pt-224", make_paligemma_extractor,
                                 "torch", 10, "PaliGemmaForConditionalGeneration",
                                 "PaliGemmaProcessor",

@@ -36,6 +36,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _kernel_precision(precision):
+    """Mosaic's dot lowering takes lax.Precision only — map the XLA-level
+    DotAlgorithmPreset spellings to their in-kernel pass-count equivalent."""
+    if isinstance(precision, jax.lax.DotAlgorithmPreset):
+        if precision == jax.lax.DotAlgorithmPreset.BF16_BF16_F32:
+            return jax.lax.Precision.DEFAULT
+        if precision == jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3:
+            return jax.lax.Precision.HIGH
+        return jax.lax.Precision.HIGHEST
+    return precision
+
+
 def _count_kernel(p_ref, y_ref, out_ref, *, nv: int, ti: int, precision):
     """One (vertex-tile, row-tile) step: counts[b, i] = #{j < nv: sim_ij < sim_ii}.
 
@@ -91,7 +103,8 @@ def streamed_pairwise_acc(preds: jnp.ndarray, latents: jnp.ndarray,
         bt -= 1
 
     counts = pl.pallas_call(
-        functools.partial(_count_kernel, nv=nv, ti=ti, precision=precision),
+        functools.partial(_count_kernel, nv=nv, ti=ti,
+                          precision=_kernel_precision(precision)),
         grid=(b // bt, nv_pad // ti),
         in_specs=[
             pl.BlockSpec((bt, ti, d_pad), lambda i, j: (i, j, 0),
@@ -109,37 +122,108 @@ def streamed_pairwise_acc(preds: jnp.ndarray, latents: jnp.ndarray,
     return total / (nv * nv - nv)
 
 
-def _factor_count_kernel(x_ref, z_ref, out_ref, diag_ref, *, nv: int, ti: int,
-                         n_tiles: int, precision):
-    """One (batch, row-tile, col-tile) step of the K-factored streamed scorer.
+def _inv_count_kernel(x_ref, inv_ref, u_ref, out_ref, z_ref, *, nv: int,
+                      ti: int, precision):
+    """Fully fused alpha step: Z = inv @ U in VMEM scratch (once per batch
+    index, at the first row tile), then count sim = X_tile @ Z rows.
 
-    sim tile = X row-tile @ Z col-tile computed in VMEM; the COLUMN tiles are
-    visited in shifted-diagonal order (col j maps to tile (row + j) % n),
-    so step j=0 of every row is its diagonal tile: the diagonal is extracted
-    from the kernel's own GEMM output (rounding-consistent with every
-    off-diagonal comparison — the property that keeps alpha agreement exact)
-    and cached in VMEM scratch for the remaining column tiles.
+    Removes the [B, K, nv] Z HBM roundtrip (~1.3 GB per fold-alpha) that the
+    two-stage XLA-GEMM + count-kernel form pays.
     """
     t = pl.program_id(1)
-    j = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        z_ref[:] = jax.lax.dot_general(
+            inv_ref[0], u_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    sim = jax.lax.dot_general(
+        x_ref[0], z_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )[None]  # [1, TI, NV_pad]
+    row = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 2)
+    diag = jnp.sum(jnp.where(col == row + t * ti, sim, 0.0),
+                   axis=-1, keepdims=True)
+    beaten = jnp.logical_and(sim < diag, col < nv)
+    out_ref[:] = jnp.sum(beaten.astype(jnp.float32), axis=-1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+def streamed_acc_from_inv(Xv_b: jnp.ndarray, inv: jnp.ndarray, U: jnp.ndarray,
+                          precision=jax.lax.Precision.DEFAULT,
+                          interpret: bool | None = None) -> jnp.ndarray:
+    """Pairwise accuracy [B] of sim = Xv_b @ (inv @ U), Z never in HBM.
+
+    ``Xv_b`` [B, nv, K], ``inv`` [B, K, K] = (G+aI)^-1, ``U`` [B, K, nv]
+    = XtY_tr @ Yv_n^T.  Counting semantics of pairwise_acc_from_sim.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    b, nv, k = Xv_b.shape
+    ti = 256
+    nv_pad = _round_up(nv, ti)
+    k_pad = _round_up(k, 128)
+    x = jnp.pad(Xv_b, ((0, 0), (0, nv_pad - nv), (0, k_pad - k)))
+    iv = jnp.pad(inv, ((0, 0), (0, k_pad - k), (0, k_pad - k)))
+    u = jnp.pad(U, ((0, 0), (0, k_pad - k), (0, nv_pad - nv)))
+
+    counts = pl.pallas_call(
+        functools.partial(_inv_count_kernel, nv=nv, ti=ti,
+                          precision=_kernel_precision(precision)),
+        grid=(b, nv_pad // ti),
+        in_specs=[
+            pl.BlockSpec((1, ti, k_pad), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad, k_pad), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad, nv_pad), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ti, 1), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nv_pad, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k_pad, nv_pad), jnp.float32)],
+        # inv + U + Z scratch + sim tile ~ 22 MB at production shapes —
+        # above the 16 MB scoped-VMEM default, well under the 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(x, iv, u)
+
+    total = jnp.sum(counts[:, :nv, 0], axis=-1)
+    return total / (nv * nv - nv)
+
+
+def _factor_count_kernel(x_ref, z_ref, out_ref, *, nv: int, ti: int, precision):
+    """One (batch, row-tile) step of the K-factored streamed scorer.
+
+    The FULL per-vertex factor Z [K, nv] stays resident in VMEM across all
+    row tiles of a batch index (its block index ignores the row-tile axis,
+    so Mosaic skips the re-fetch): at production shapes Z is only ~5 MB, so
+    every row tile sees all NV columns from one GEMM — the diagonal is
+    extracted from the kernel's own output (rounding-consistent with every
+    off-diagonal comparison, the property that keeps alpha agreement exact).
+    An earlier (t, j) column-tiled version re-streamed Z n_tiles times per
+    fold-alpha (~8 GB) and lost to the dense XLA scorer.
+    """
     sim = jax.lax.dot_general(
         x_ref[:], z_ref[:],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=precision,
-    )  # [BT, TI, TI]
-    col_tile = jax.lax.rem(t + j, n_tiles)
-    row = jax.lax.broadcasted_iota(jnp.int32, (1, ti, ti), 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, ti, ti), 2)
-
-    @pl.when(j == 0)
-    def _():
-        diag_ref[:] = jnp.sum(jnp.where(col == row, sim, 0.0),
-                              axis=-1, keepdims=True)  # [BT, TI, 1]
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    valid = (col_tile * ti + col) < nv
-    beaten = jnp.logical_and(sim < diag_ref[:], valid)
-    out_ref[:] += jnp.sum(beaten.astype(jnp.float32), axis=-1, keepdims=True)
+    )  # [1, TI, NV_pad]
+    t = pl.program_id(1)
+    row = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 2)
+    diag = jnp.sum(jnp.where(col == row + t * ti, sim, 0.0),
+                   axis=-1, keepdims=True)  # [1, TI, 1]
+    beaten = jnp.logical_and(sim < diag, col < nv)
+    out_ref[:] = jnp.sum(beaten.astype(jnp.float32), axis=-1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "interpret"))
@@ -159,33 +243,26 @@ def streamed_acc_from_factors(Xv_b: jnp.ndarray, Z: jnp.ndarray,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     b, nv, k = Xv_b.shape
-    ti = 128
+    ti = 256
     nv_pad = _round_up(nv, ti)
     k_pad = _round_up(k, 128)
     x = jnp.pad(Xv_b, ((0, 0), (0, nv_pad - nv), (0, k_pad - k)))
     z = jnp.pad(Z, ((0, 0), (0, k_pad - k), (0, nv_pad - nv)))
-    n_tiles = nv_pad // ti
-
-    bt = 2
-    while b % bt != 0:
-        bt -= 1
 
     counts = pl.pallas_call(
-        functools.partial(_factor_count_kernel, nv=nv, ti=ti, n_tiles=n_tiles,
-                          precision=precision),
-        grid=(b // bt, n_tiles, n_tiles),
+        functools.partial(_factor_count_kernel, nv=nv, ti=ti,
+                          precision=_kernel_precision(precision)),
+        grid=(b, nv_pad // ti),
         in_specs=[
-            pl.BlockSpec((bt, ti, k_pad), lambda i, t, j: (i, t, 0),
+            pl.BlockSpec((1, ti, k_pad), lambda i, t: (i, t, 0),
                          memory_space=pltpu.VMEM),
-            # shifted-diagonal column order: j=0 is the diagonal tile
-            pl.BlockSpec((bt, k_pad, ti),
-                         lambda i, t, j, _n=n_tiles: (i, 0, (t + j) % _n),
+            # full Z for this batch index, resident across row tiles
+            pl.BlockSpec((1, k_pad, nv_pad), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt, ti, 1), lambda i, t, j: (i, t, 0),
+        out_specs=pl.BlockSpec((1, ti, 1), lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nv_pad, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bt, ti, 1), jnp.float32)],
         interpret=interpret,
     )(x, z)
 

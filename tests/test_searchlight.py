@@ -345,14 +345,14 @@ def test_cv_fused_scorers_match_xla(rng):
     patches = E.gather_patches(Xtr, adj)
 
     outs = {}
-    for scorer in ("xla", "fused", "fused-pallas"):
+    for scorer in ("xla", "fused", "fused-pallas", "fused-inv"):
         outs[scorer] = E.fit_block_cv(
             patches, Ytr, alphas, n_splits=5,
             cv_precision=jax.lax.Precision.HIGHEST, cv_solver="schur-cb",
             cv_scorer=scorer,
         )
     _, best_x, scores_x = outs["xla"]
-    for scorer in ("fused", "fused-pallas"):
+    for scorer in ("fused", "fused-pallas", "fused-inv"):
         _, best, scores = outs[scorer]
         np.testing.assert_allclose(np.asarray(scores), np.asarray(scores_x),
                                    atol=5e-5, err_msg=scorer)
