@@ -129,13 +129,14 @@ def main():
     def block_idx(start):
         return (start + jnp.arange(block)[:, None] + jnp.arange(k)[None, :]) % v_total
 
-    def make_run_block(cv_precision, cv_solver, cv_scorer="xla"):
+    def make_run_block(cv_precision, cv_solver, cv_scorer="xla", cv_dtype=None):
         @jax.jit
         def run_block(xa, ytr, yte, yim, start, acc):
             scores = searchlight_block_cv(
                 xa, ytr, yte, yim, block_idx(start).astype(jnp.int32), None, alphas,
                 layout=layout, n_train=n_train, n_test=n_test, n_splits=N_SPLITS,
                 cv_precision=cv_precision, cv_solver=cv_solver, cv_scorer=cv_scorer,
+                cv_dtype=cv_dtype,
             )
             # fold the block's scores into a running checksum: chains the
             # blocks and lets a single 4-byte host readback act as a true
@@ -174,8 +175,13 @@ def main():
     # v/s vs 146 for the XLA scorer here: the constant-index Y block is
     # re-DMA'd per grid step, so it loses on this chip despite the smaller
     # footprint; revisit with explicit VMEM residency (round-3 backlog).
+    # round-3 addition: bf16 SELECTION-path storage (per-fold slice casts;
+    # halves the fold-scorer HBM traffic, 158 -> 164 v/s) — on-device parity
+    # 1024/1024 alpha agreement, 0.0 final-score delta; the refit never
+    # touches the bf16 copies.  Mirrors decoding.searchlight.default_cv_dtype.
     rate = timed_run(
-        make_run_block(jax.lax.Precision.DEFAULT, "schur-pallas", "xla"),
+        make_run_block(jax.lax.Precision.DEFAULT, "schur-pallas", "xla",
+                       jnp.bfloat16 if on_accel else None),
         max_seconds, "cv-fast",
     )
     if os.environ.get("BENCH_STRICT", "1") != "0":
@@ -201,8 +207,8 @@ def main():
         "metric": "searchlight_cv_vertices_per_sec",
         "value": round(float(rate), 2),
         "unit": (f"vertices/s (N={n_train}, K={k}, D={d}, 6 alphas x 5-fold CV; "
-                 "selection f32-default + pallas-base schur inverse, refit "
-                 "f32-highest; incl. scoring)"),
+                 "selection bf16-storage/f32-accum + pallas-base schur inverse, "
+                 "refit f32-highest; incl. scoring)"),
         "vs_baseline": round(float(rate / cpu_rate_ref), 2),
     }))
 

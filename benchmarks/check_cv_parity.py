@@ -36,7 +36,10 @@ def run_parity(n_blocks: int = 8, cv_solver: str | None = None,
     import jax
     import jax.numpy as jnp
 
-    from multimodal_decoding_tpu.decoding.searchlight import default_cv_solver
+    from multimodal_decoding_tpu.decoding.searchlight import (
+        default_cv_dtype,
+        default_cv_solver,
+    )
     from multimodal_decoding_tpu.decoding.searchlight_engine import (
         TestLayout,
         searchlight_block_cv,
@@ -44,7 +47,13 @@ def run_parity(n_blocks: int = 8, cv_solver: str | None = None,
 
     if cv_solver is None:
         cv_solver = default_cv_solver()
-    sel_dtype = jnp.bfloat16 if cv_dtype == "bfloat16" else None
+    if cv_dtype is None:
+        # validate the SHIPPED selection dtype (bf16 on TPU); "none" forces f32
+        sel_dtype = default_cv_dtype()
+    elif cv_dtype == "none":
+        sel_dtype = None
+    else:
+        sel_dtype = jnp.bfloat16 if cv_dtype == "bfloat16" else None
     log(f"validating fast path: cv_solver={cv_solver}, cv_scorer={cv_scorer}, "
         f"cv_dtype={cv_dtype}")
 
@@ -121,8 +130,9 @@ def main():
                          "decoding.searchlight.default_cv_solver)")
     ap.add_argument("--cv-scorer", type=str, default="xla")
     ap.add_argument("--cv-dtype", type=str, default=None,
-                    choices=[None, "bfloat16"],
-                    help="selection-path storage dtype to validate")
+                    choices=[None, "bfloat16", "none"],
+                    help="selection-path storage dtype to validate (default: "
+                         "the shipped platform default; 'none' forces f32)")
     args = ap.parse_args()
     out = run_parity(args.blocks, args.cv_solver, args.cv_scorer, args.cv_dtype)
     print(f'{{"alpha_agreement": {out["alpha_agreement"]:.4f}, '
