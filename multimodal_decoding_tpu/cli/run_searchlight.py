@@ -68,6 +68,10 @@ def get_args():
                         help="bfloat16 storage + single-pass MXU (~2-4x faster; "
                              "accuracy deviations ~1e-2, cf. the reference's "
                              "float16 inputs)")
+    parser.add_argument("--adjacency-cache-dir", type=str, default="auto",
+                        help="cache dir for the kNN/radius adjacency build "
+                             "(~680s single-core at fsaverage7); 'auto' = "
+                             "<out-dir>/.adjacency_cache, 'none' disables")
     parser.add_argument("--strict-cv", action="store_true", default=False,
                         help="run CV alpha selection at f32-HIGHEST cholesky "
                              "instead of the fast path (~3.5x slower; the fast "
@@ -102,6 +106,10 @@ def main():
         overwrite=args.overwrite,
         fast_math=args.fast_math,
         fast_cv=not args.strict_cv,
+        adjacency_cache_dir=(
+            None if args.adjacency_cache_dir == "none"
+            else os.path.join(args.out_dir, ".adjacency_cache")
+            if args.adjacency_cache_dir == "auto" else args.adjacency_cache_dir),
     )
     run(cfg)
 

@@ -138,17 +138,49 @@ class SearchlightConfig:
     # (benchmarks/check_cv_parity.py: 768/768 agreement, zero final-score
     # delta) and it is ~3.5x faster, so it defaults on.
     fast_cv: bool = True
+    # cache directory for the kNN/radius adjacency build (~680 s single-core
+    # at fsaverage7; identical across models/training modes of a subject) —
+    # None disables.  Defaults under out_dir at run time.
+    adjacency_cache_dir: str | None = None
 
 
-def build_adjacency(coords, nan_locations=None, radius=None, n_neighbors=None):
+def build_adjacency(coords, nan_locations=None, radius=None, n_neighbors=None,
+                    cache_dir=None):
     """Adjacency over (optionally NaN-filtered) mesh coords (searchlight.py:152-178).
 
     Returns (indices [V', K], mask or None, n_neighbors_per_vertex or None,
     distances or None).
+
+    ``cache_dir``: when set, the result is cached as an .npz keyed by the
+    (coords, nan mask, radius/K) content hash — the fsaverage7 kNN build is
+    ~680 s single-core (benchmarks/profile_run_overheads.py) and identical
+    across re-runs, training modes, and models of the same subject/hemi.
     """
     coords = np.asarray(coords)
     if nan_locations is not None:
         coords = coords[~np.asarray(nan_locations)]
+    if cache_dir is not None:
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(coords).tobytes())
+        h.update(f"r={radius},k={n_neighbors}".encode())
+        cache_path = os.path.join(cache_dir, f"adjacency_{h.hexdigest()[:16]}.npz")
+        if os.path.exists(cache_path):
+            with np.load(cache_path, allow_pickle=False) as z:
+                print(f"Loaded cached adjacency: {cache_path}")
+                return (z["idx"],
+                        z["mask"] if "mask" in z.files else None,
+                        z["counts"] if "counts" in z.files else None,
+                        z["dists"] if "dists" in z.files else None)
+        out = build_adjacency(coords, None, radius, n_neighbors)
+        os.makedirs(cache_dir, exist_ok=True)
+        payload = {"idx": out[0]}
+        for name, val in zip(("mask", "counts", "dists"), out[1:]):
+            if val is not None:
+                payload[name] = val
+        np.savez(cache_path, **payload)
+        return out
     if radius is not None:
         idx, mask, counts = radius_adjacency(coords, radius)
         print(
@@ -221,7 +253,8 @@ def run(cfg: SearchlightConfig) -> list:
                 )
 
                 adjacency, adj_mask, n_neighbors_per_vertex, distances = build_adjacency(
-                    cfg.mesh_coords[hemi], nan_locations, cfg.radius, cfg.n_neighbors
+                    cfg.mesh_coords[hemi], nan_locations, cfg.radius,
+                    cfg.n_neighbors, cache_dir=cfg.adjacency_cache_dir,
                 )
 
                 import jax as _jax

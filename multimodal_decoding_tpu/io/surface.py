@@ -159,7 +159,11 @@ def knn_adjacency(coords: np.ndarray, k: int, block: int = 4096, method: str = "
     if method == "exact":
         from sklearn.neighbors import NearestNeighbors
 
-        dists, idx = NearestNeighbors().fit(coords).kneighbors(coords, n_neighbors=k)
+        # n_jobs=-1: the fsaverage7 build is ~680 s single-core (measured,
+        # benchmarks/profile_run_overheads.py) and embarrassingly parallel
+        # over queries; same exact KD-tree, same output
+        nn = NearestNeighbors(n_jobs=-1).fit(coords)
+        dists, idx = nn.kneighbors(coords, n_neighbors=k)
         return idx.astype(np.int32), dists.astype(np.float32)
     import jax
     import jax.numpy as jnp

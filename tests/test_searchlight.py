@@ -374,3 +374,75 @@ def test_streamed_acc_from_factors_matches_dense(rng):
         streamed = streamed_acc_from_factors(X, Z)
         np.testing.assert_allclose(np.asarray(streamed), np.asarray(dense),
                                    atol=1e-6, err_msg=f"{b},{nv},{k}")
+
+
+def test_score_and_null_block_matches_separate_paths(rng):
+    """The combined main+null scorer is bitwise-identical to the separate
+    score_block / null_score_block pair (same einsums, same precision, same
+    comparisons — the main accuracy is the identity gather of the shared
+    rank counts)."""
+    import jax.numpy as jnp
+
+    Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, adj = make_problem(rng, v=8)
+    layout = E.TestLayout.from_stim_types(stim_types)
+    n_cap = 5
+    P = 4
+    shuffles = np.stack([
+        np.concatenate([np.random.RandomState(7 + p).permutation(n_cap),
+                        n_cap + np.random.RandomState(7 + p).permutation(n_cap)])
+        for p in range(P)
+    ]).astype(np.int32)
+    ders = np.random.RandomState(3).randint(0, 2, size=(len(adj), P)).astype(np.int32)
+
+    preds_t = jnp.asarray(rng.randn(len(adj), len(Yte), Yte.shape[1]).astype(np.float32))
+    preds_i = jnp.asarray(rng.randn(len(adj), 3, Yim.shape[1]).astype(np.float32))
+
+    main_sep = E.score_block(preds_t, preds_i, Yte, Yim, layout)
+    null_sep = E.null_score_block(preds_t, preds_i, Yte, Yim, layout,
+                                  jnp.asarray(shuffles), jnp.asarray(ders))
+    main_c, null_c = E.score_and_null_block(preds_t, preds_i, Yte, Yim, layout,
+                                            jnp.asarray(shuffles), jnp.asarray(ders))
+    assert list(main_c) == list(main_sep)
+    assert list(null_c) == list(null_sep)
+    for m in main_sep:
+        np.testing.assert_array_equal(np.asarray(main_c[m]),
+                                      np.asarray(main_sep[m]), err_msg=m)
+    for m in null_sep:
+        np.testing.assert_array_equal(np.asarray(null_c[m]),
+                                      np.asarray(null_sep[m]), err_msg=m)
+
+
+def test_cv_alpha_batch_parity(rng):
+    """Chunked alpha-batched inverse selection == per-alpha lax.map path."""
+    import jax.numpy as jnp
+
+    n, k, d, v = 60, 8, 6, 12
+    Ytr = rng.randn(n, d).astype(np.float32)
+    Xtr = (Ytr @ rng.randn(d, v) + rng.randn(n, v)).astype(np.float32)
+    adj = np.stack([rng.choice(v, size=k, replace=False) for _ in range(v)]).astype(np.int32)
+    patches = E.gather_patches(jnp.asarray(Xtr), jnp.asarray(adj))
+    alphas = jnp.asarray([1.0, 10.0, 100.0, 1000.0], dtype=jnp.float32)
+    _, b0, s0 = E.fit_block_cv(patches, Ytr, alphas, 3, cv_solver="schur-cb")
+    for chunk in (2, 4, True):
+        _, b1, s1 = E.fit_block_cv(patches, Ytr, alphas, 3, cv_solver="schur-cb",
+                                   cv_alpha_batch=chunk)
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+
+def test_adjacency_cache_roundtrip(tmp_path, rng):
+    from multimodal_decoding_tpu.decoding.searchlight import build_adjacency
+
+    coords = rng.randn(64, 3).astype(np.float32)
+    idx0, _, _, d0 = build_adjacency(coords, n_neighbors=5,
+                                     cache_dir=str(tmp_path))
+    files = list(tmp_path.glob("adjacency_*.npz"))
+    assert len(files) == 1
+    idx1, _, _, d1 = build_adjacency(coords, n_neighbors=5,
+                                     cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(idx0, idx1)
+    np.testing.assert_array_equal(d0, d1)
+    # different K -> different cache entry, not a stale hit
+    idx2, _, _, _ = build_adjacency(coords, n_neighbors=7,
+                                    cache_dir=str(tmp_path))
+    assert idx2.shape[1] == 7 and len(list(tmp_path.glob("adjacency_*.npz"))) == 2
