@@ -84,7 +84,7 @@ def main():
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         return (q * 100.0).astype(np.float32)
 
-    for lam in (0.1, 0.2, 0.35):
+    for lam in (0.01, 0.02, 0.04, 0.1):
         wc = warp(lam)
         nn_w = NearestNeighbors().fit(wc)
         counts = np.array([len(x) for x in nn_w.radius_neighbors(
