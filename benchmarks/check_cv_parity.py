@@ -54,6 +54,7 @@ def run_parity(n_blocks: int = 8, cv_solver: str | None = None,
         sel_dtype = None
     else:
         sel_dtype = jnp.bfloat16 if cv_dtype == "bfloat16" else None
+    cv_dtype = "bfloat16" if sel_dtype is not None else "none"  # resolved
     log(f"validating fast path: cv_solver={cv_solver}, cv_scorer={cv_scorer}, "
         f"cv_dtype={cv_dtype}")
 
@@ -138,7 +139,7 @@ def main():
     print(f'{{"alpha_agreement": {out["alpha_agreement"]:.4f}, '
           f'"max_final_score_delta": {out["max_final_score_delta"]:.3e}, '
           f'"blocks": {out["blocks"]}, "block_size": {out["block_size"]}, '
-          f'"cv_solver": "{out["cv_solver"]}"}}')
+          f'"cv_solver": "{out["cv_solver"]}", "cv_dtype": "{out["cv_dtype"]}"}}')
 
 
 if __name__ == "__main__":

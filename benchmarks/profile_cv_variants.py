@@ -114,6 +114,12 @@ def main():
             cv_precision = spec.pop("cv_precision", jax.lax.Precision.DEFAULT)
             apply_only = spec.pop("apply_only", False)
             if apply_only:
+                # the monkeypatch below changes behavior WITHOUT changing the
+                # jit cache key — a previously traced searchlight_block_cv
+                # with identical static args would be reused and the patch
+                # never executes (this silently re-measured base once)
+                jax.clear_caches()
+            if apply_only:
                 # cv_dtype=None but apply GEMM in bf16: emulate by a solver
                 # wrapper — patch spd_solve's apply via cv_dtype on solver only
                 import multimodal_decoding_tpu.ops.solvers as S

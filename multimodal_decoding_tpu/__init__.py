@@ -8,4 +8,4 @@ with a native C++ TFCE engine.  See COMPONENTS.md for the component map and
 docs/MIGRATION.md for the reference-user migration guide.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -128,8 +128,11 @@ def main():
             mesh_by_hemi, stats["tfce_values"], metric, cutoff, fig_dir,
             annot_by_hemi=annot_by_hemi, views=tuple(args.views),
         ))
-        if args.method_panels:
+        per_subject = None
+        if args.method_panels or args.method_figures:
+            # multi-GB unpickle at fsaverage7 — load once, serve both flags
             per_subject = load_per_subject_scores(cfg)
+        if args.method_panels:
             written += plot_method_panels(
                 mesh_by_hemi, per_subject, stats["t_values"], stats["tfce_values"],
                 stats["p_values"], metric, os.path.join(fig_dir, "method"),
@@ -137,7 +140,6 @@ def main():
         if args.method_figures:
             from multimodal_decoding_tpu.viz.figures import plot_method_figures
 
-            per_subject = load_per_subject_scores(cfg)
             out = plot_method_figures(
                 mesh_by_hemi, per_subject, stats["t_values"], stats["tfce_values"],
                 stats["p_values"], metric, cutoff, args.p_value_threshold,

@@ -313,23 +313,32 @@ def assemble_null_scores(cfg: PermutationConfig, subject: str, hemi: str) -> dic
     return {k: np.ascontiguousarray(v.T.astype(np.float32)) for k, v in maps.items()}
 
 
-def _stacked_null_scores(cfg: PermutationConfig, hemi: str, members, mesh=None) -> dict:
+def _stacked_null_scores(cfg: PermutationConfig, hemi: str, members, mesh=None,
+                         emulate_host_ingestion: bool = False) -> dict:
     """{metric: [S, P_within, V]} per-subject null stacks for one hemi.
 
     ``mesh=None``: one process loads every subject's null artifact.  With a
-    mesh, ingestion is per-host sharded: each host reads only the subjects it
-    owns (multihost.host_shard_bounds over the subject list) and the union is
-    assembled on device by one reduce (multihost.replicate_host_filled) —
-    the multi-chip analogue of the reference's per-job HDF5 shard assembly
-    (permutation_testing.py:513-556).
+    mesh and multiple processes, ingestion is per-host sharded: each host
+    reads only the subjects it owns (multihost.host_shard_bounds over the
+    subject list) and the union is assembled on device by one reduce
+    (multihost.replicate_host_filled) — the multi-chip analogue of the
+    reference's per-job HDF5 shard assembly (permutation_testing.py:513-556).
+
+    A SINGLE process that drives a whole mesh (a v5e-8 TPU VM) gains nothing
+    from per-host sharding — it reads every subject either way — so it takes
+    the plain-stack path unless ``emulate_host_ingestion`` forces the
+    device-granular emulation (tests: the emulation builds n_dev full-size
+    zero-filled copies, ~n_dev x S*P*V*4 bytes, which at production scale is
+    tens of GB of pointless host transients).
     """
-    if mesh is None:
+    import jax
+
+    multi = mesh is not None and jax.process_count() > 1
+    if not multi and not (mesh is not None and emulate_host_ingestion):
         subj_nulls = [assemble_null_scores(cfg, s, hemi) for s in cfg.subjects]
         return {
             m: np.stack([sn[m] for sn in subj_nulls]) for m in members
         }
-
-    import jax
 
     from multimodal_decoding_tpu.parallel.multihost import (
         host_shard_bounds,
@@ -343,17 +352,28 @@ def _stacked_null_scores(cfg: PermutationConfig, hemi: str, members, mesh=None) 
         return {s: assemble_null_scores(cfg, cfg.subjects[s], hemi)
                 for s in range(lo, hi)}
 
-    if jax.process_count() > 1:
+    if multi:
         owned = host_fill(jax.process_index(), jax.process_count())
         all_owned = [owned]
+        # processes with no subjects (process_count > n_subjects) cannot read
+        # a sample artifact to learn the fill shape — broadcast it from
+        # process 0, which always owns subject 0
+        from jax.experimental import multihost_utils
+
+        if owned:
+            sample = next(iter(owned.values()))
+            shape_arr = np.asarray(sample[members[0]].shape, np.int32)
+        else:
+            shape_arr = np.zeros(2, np.int32)
+        shape_arr = np.asarray(multihost_utils.broadcast_one_to_all(shape_arr))
+        p_within, v = int(shape_arr[0]), int(shape_arr[1])
     else:
         # device-granular host emulation (same convention as multihost.py)
         n_dev = mesh.devices.size
         all_owned = [host_fill(d, n_dev) for d in range(n_dev)]
-
-    some = next(o for o in all_owned if o)
-    sample = next(iter(some.values()))
-    p_within, v = sample[members[0]].shape
+        some = next(o for o in all_owned if o)
+        sample = next(iter(some.values()))
+        p_within, v = sample[members[0]].shape
 
     out = {}
     for metric in members:
@@ -363,7 +383,7 @@ def _stacked_null_scores(cfg: PermutationConfig, hemi: str, members, mesh=None) 
                 fill[s] = maps[metric]
             return fill
 
-        if jax.process_count() > 1:
+        if multi:
             out[metric] = replicate_host_filled(fill_of(all_owned[0]), mesh)
         else:
             out[metric] = replicate_host_filled(
@@ -372,7 +392,8 @@ def _stacked_null_scores(cfg: PermutationConfig, hemi: str, members, mesh=None) 
     return out
 
 
-def null_max_tfce_statistics(cfg: PermutationConfig, mesh=None) -> dict:
+def null_max_tfce_statistics(cfg: PermutationConfig, mesh=None,
+                             emulate_host_ingestion: bool = False) -> dict:
     """Group-level null: sample permutations, t-maps on device, native TFCE.
 
     Returns {"null_max": [P_group] max TFCE across hemis, "per_hemi": ...}
@@ -400,7 +421,8 @@ def null_max_tfce_statistics(cfg: PermutationConfig, mesh=None) -> dict:
     n_group = cfg.n_permutations_group_level
 
     for hemi in cfg.hemis:
-        stacks = _stacked_null_scores(cfg, hemi, members, mesh)
+        stacks = _stacked_null_scores(cfg, hemi, members, mesh,
+                                      emulate_host_ingestion=emulate_host_ingestion)
         p_within, v = stacks[members[0]].shape[1:]
         perms = S.group_permutations(p_within, len(cfg.subjects), n_group)
 

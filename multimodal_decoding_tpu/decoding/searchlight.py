@@ -179,7 +179,12 @@ def build_adjacency(coords, nan_locations=None, radius=None, n_neighbors=None,
         for name, val in zip(("mask", "counts", "dists"), out[1:]):
             if val is not None:
                 payload[name] = val
-        np.savez(cache_path, **payload)
+        # atomic publish: a killed run (this codebase explicitly supports
+        # resume-after-kill) or a concurrent subject job must never leave a
+        # truncated .npz that poisons every later run
+        tmp_path = cache_path + f".{os.getpid()}.tmp.npz"  # np.savez appends
+        np.savez(tmp_path, **payload)                      # .npz if missing
+        os.replace(tmp_path, cache_path)
         return out
     if radius is not None:
         idx, mask, counts = radius_adjacency(coords, radius)

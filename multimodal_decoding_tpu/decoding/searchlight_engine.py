@@ -140,6 +140,12 @@ def fit_block_cv(
     """
     cv_precision = precision if cv_precision is None else cv_precision
     cv_solver = solver if cv_solver is None else cv_solver
+    if cv_alpha_batch and cv_scorer != "xla":
+        # the alpha-batched path implements only the xla scale-invariant
+        # fold scorer; with "strict"/"pallas" it would silently substitute
+        # it, and the fused branches would silently ignore the batching
+        raise ValueError(
+            f"cv_alpha_batch requires cv_scorer='xla'; got {cv_scorer!r}")
     n = X_train_g.shape[0]
     Kdim = X_train_g.shape[-1]
     folds = kfold_indices(n, n_splits)

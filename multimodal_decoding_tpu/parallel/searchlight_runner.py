@@ -163,9 +163,6 @@ def run_searchlight(
     flush_every = _flush_cadence(block_size, n_perms if use_null else None)
     n_hosted = 0  # results[:n_hosted] (and null_results[:n_hosted]) are host numpy
 
-    def _to_host(d):
-        return {k: np.asarray(v) for k, v in d.items()}
-
     # Shard-granular checkpointing: a killed run loses at most
     # ``checkpoint_every`` blocks instead of the whole (subject, hemi) shard
     # (the reference loses everything, SURVEY.md §5 failure-detection row).

@@ -101,7 +101,12 @@ def plot_acc_score_panels(mesh_by_hemi, per_subject_scores, subjects, out_dir,
                     mesh_by_hemi[hemi], group, hemi, view,
                     os.path.join(panel_dir, f"{metric}_{view}_{hemi}.png"), **kw,
                 ))
-        # colorbar plot (first hemi/view, colorbar=True, cropped)
+        # colorbar plot (first hemi/view, colorbar=True, cropped) — re-average
+        # for HEMIS[0]: the loop variable above leaves the LAST hemi's data
+        group = np.nanmean(
+            np.stack([np.asarray(per_subject_scores[s][HEMIS[0]][metric])
+                      for s in subjects]), axis=0,
+        )
         written.append(_panel(
             mesh_by_hemi[HEMIS[0]], group, HEMIS[0], views[0],
             os.path.join(panel_dir, f"colorbar_{metric}.png"),

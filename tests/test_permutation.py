@@ -289,7 +289,8 @@ def test_null_max_sharded_matches_single_device(pipeline_run, tmp_path):
     for chunk in (8, 5):
         cfg_i = replace(cfg_sharded, out_dir=f"{cfg_sharded.out_dir}_{chunk}",
                         null_chunk=chunk)
-        res = PT.null_max_tfce_statistics(cfg_i, mesh=vertex_mesh())
+        res = PT.null_max_tfce_statistics(cfg_i, mesh=vertex_mesh(),
+                                          emulate_host_ingestion=True)
         np.testing.assert_allclose(
             np.sort(res["null_max"]), out["null_max_sorted"], rtol=1e-5
         )

@@ -36,10 +36,15 @@ def fs5_problem():
     W = rng.randn(D, mesh.n_vertices).astype(np.float32) * 0.4
     X = np.concatenate([Y_train, Y_test, Y_imag]) @ W
     X += rng.randn(*X.shape).astype(np.float32)
-    shuffles = np.stack(
-        [rng.permutation(N_TEST) for _ in range(P_SHUFFLES)]
-    ).astype(np.int32)
-    stim_types = np.array(["caption"] * 5 + ["image"] * 5)
+    # within-modality shuffles (reference data.py:554-561): the engine's
+    # rank-count gather assumes each permutation maps captions to captions
+    # and images to images
+    n_cap = 5
+    shuffles = np.stack([
+        np.concatenate([rng.permutation(n_cap), n_cap + rng.permutation(n_cap)])
+        for _ in range(P_SHUFFLES)
+    ]).astype(np.int32)
+    stim_types = np.array(["caption"] * n_cap + ["image"] * n_cap)
     return mesh, adjacency, X, Y_train, Y_test, Y_imag, shuffles, stim_types
 
 
@@ -159,7 +164,8 @@ def test_fs5_permutation_pipeline_sharded(fs5_problem, tmp_path):
     res_1 = PT.null_max_tfce_statistics(cfg_1, mesh=None)
 
     cfg_8 = PT.PermutationConfig(out_dir=str(tmp_path / "perm8"), **base)
-    res_8 = PT.null_max_tfce_statistics(cfg_8, mesh=vertex_mesh(jax.devices()[:8]))
+    res_8 = PT.null_max_tfce_statistics(cfg_8, mesh=vertex_mesh(jax.devices()[:8]),
+                                       emulate_host_ingestion=True)
 
     assert res_1["null_max"].shape == (16,)
     np.testing.assert_allclose(res_8["null_max"], res_1["null_max"], rtol=1e-5)
