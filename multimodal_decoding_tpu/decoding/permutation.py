@@ -460,17 +460,31 @@ def null_max_tfce_statistics(cfg: PermutationConfig, mesh=None,
     null_max = np.full(n_group, -np.inf, dtype=np.float64)
     for hemi in cfg.hemis:
         edges, lengths = cfg.edges_by_hemi[hemi]
-        tfce_maps = T.tfce_map(
-            per_hemi_null_t[hemi], edges, lengths,
-            h=cfg.tfce_h, e=cfg.tfce_e, dh=cfg.tfce_dh,
-        )  # [P, V]
-        hemi_max = np.nanmax(np.where(np.isnan(tfce_maps), -np.inf, tfce_maps), axis=1)
-        null_max = np.maximum(null_max, hemi_max)
         if cfg.keep_null_maps:
+            tfce_maps = T.tfce_map(
+                per_hemi_null_t[hemi], edges, lengths,
+                h=cfg.tfce_h, e=cfg.tfce_e, dh=cfg.tfce_dh,
+            )  # [P, V]
+            hemi_max = np.nanmax(
+                np.where(np.isnan(tfce_maps), -np.inf, tfce_maps), axis=1)
             np.savez_compressed(
                 os.path.join(out_dir, f"tfce_null_maps_{hemi}{get_hparam_suffix(cfg)}.npz"),
                 tfce=tfce_maps,
             )
+        else:
+            # only the per-permutation max feeds inference — chunk the TFCE
+            # so the second full [P, V] array (~6.5 GB at the BASELINE 10k
+            # fsaverage7 config) never materialises
+            hemi_max = np.empty(n_group, dtype=np.float64)
+            for start in range(0, n_group, cfg.null_chunk):
+                tfce_chunk = T.tfce_map(
+                    per_hemi_null_t[hemi][start : start + cfg.null_chunk],
+                    edges, lengths,
+                    h=cfg.tfce_h, e=cfg.tfce_e, dh=cfg.tfce_dh,
+                )
+                hemi_max[start : start + len(tfce_chunk)] = np.nanmax(
+                    np.where(np.isnan(tfce_chunk), -np.inf, tfce_chunk), axis=1)
+        null_max = np.maximum(null_max, hemi_max)
 
     np.savez(cache, null_max=null_max)
     return {"null_max": null_max}
