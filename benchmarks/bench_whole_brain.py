@@ -85,7 +85,9 @@ def main():
     for _ in range(2):
         t0 = time.time()
         K = gram(X)
-        best_idx, mean_scores, dual = ridge_cv_dual(K, np.asarray(Y), alphas, n_splits=5)
+        # pass the DEVICE-resident Y: a numpy Y re-uploads ~32 MB per pass
+        # through this box's tunnel (seconds; PCIe noise in production)
+        best_idx, mean_scores, dual = ridge_cv_dual(K, Y, alphas, n_splits=5)
         Kq = cross(X_test, X)
         Ki = cross(X_imag, X)
         preds = np.asarray(dual_ridge_predict(Kq, dual))

@@ -157,9 +157,21 @@ def cross_matrix(X_query: np.ndarray, X_train: np.ndarray, block_cols: int = 163
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("scorer",))
-def _cv_fold_scores(K_tt, K_vt, Y_tr, Y_va, alphas, scorer=None):
-    """Scores for all alphas on one fold.  Returns [n_alphas]."""
+@functools.partial(jax.jit, static_argnames=("scorer", "solver"))
+def _cv_fold_scores(K_tt, K_vt, Y_tr, Y_va, alphas, scorer=None,
+                    solver: str | None = None):
+    """Scores for all alphas on one fold.  Returns [n_alphas].
+
+    ``solver=None`` (strict): per-alpha HIGHEST-precision cho_solve — the
+    sklearn-parity oracle.  A solver name ("schur-cb"/"schur-pallas")
+    switches the SELECTION solves to the batched Schur SPD inverse at
+    DEFAULT precision: the CV sweep is Cholesky-dominated (5.85 s of the
+    7.4 s whole-brain stage sum; vmap over alphas measured IDENTICAL to
+    lax.map — batched large Choleskys serialise either way), while the
+    Schur inverse is GEMM-dominated and MXU-friendly.  Selection-grade
+    only: its obligation is the alpha argmax; the refit in ridge_cv_dual
+    never changes.
+    """
 
     def one_alpha(alpha):
         dual = dual_ridge_fit(K_tt, Y_tr, alpha)
@@ -168,7 +180,49 @@ def _cv_fold_scores(K_tt, K_vt, Y_tr, Y_va, alphas, scorer=None):
             return pairwise_accuracy(Y_va, preds)
         return scorer(Y_va, preds)
 
-    return jax.lax.map(one_alpha, alphas)
+    if solver is None:
+        return jax.vmap(one_alpha)(alphas)
+
+    from multimodal_decoding_tpu.ops.solvers import spd_inverse
+
+    DEF = jax.lax.Precision.DEFAULT
+    eye = jnp.eye(K_tt.shape[-1], dtype=K_tt.dtype)
+    A_all = K_tt[None] + alphas[:, None, None] * eye  # [A, n_tr, n_tr]
+    inv_all = spd_inverse(A_all, method=solver, precision=DEF)
+
+    def one_alpha_fast(inv):
+        dual = jnp.matmul(inv, Y_tr, preferred_element_type=jnp.float32,
+                          precision=DEF)
+        preds = jnp.matmul(K_vt, dual, preferred_element_type=jnp.float32,
+                           precision=DEF)
+        if scorer is None:
+            return pairwise_accuracy(Y_va, preds)
+        return scorer(Y_va, preds)
+
+    return jax.lax.map(one_alpha_fast, inv_all)
+
+
+@functools.partial(jax.jit, static_argnames=("lo", "hi", "scorer", "solver"))
+def _cv_fold_scores_sliced(K, Y, lo: int, hi: int, alphas, scorer=None,
+                           solver: str | None = None):
+    """_cv_fold_scores with the fold-block assembly INSIDE the jit.
+
+    KFold validation folds are contiguous [lo:hi) ranges, so the train
+    blocks are 2x2 slice concats of the full gram.  Doing this eagerly
+    materialises ~0.5 GB of intermediates per fold next to whatever else is
+    resident (it OOMed the whole-brain bench beside the 10.7 GB X); inside
+    jit XLA fuses the slices into the consumers.  Static (lo, hi) costs one
+    compile per distinct fold geometry (<= n_splits, cached across
+    subjects/models of the production sweep).
+    """
+    K_tt = jnp.concatenate([
+        jnp.concatenate([K[:lo, :lo], K[:lo, hi:]], axis=1),
+        jnp.concatenate([K[hi:, :lo], K[hi:, hi:]], axis=1),
+    ], axis=0)
+    K_vt = jnp.concatenate([K[lo:hi, :lo], K[lo:hi, hi:]], axis=1)
+    Y_tr = jnp.concatenate([Y[:lo], Y[hi:]], axis=0)
+    return _cv_fold_scores(K_tt, K_vt, Y_tr, Y[lo:hi], alphas,
+                           scorer=scorer, solver=solver)
 
 
 def ridge_cv_dual(
@@ -177,6 +231,7 @@ def ridge_cv_dual(
     alphas: Sequence[float],
     n_splits: int = 5,
     scorer: Callable | None = None,
+    cv_solver: str | None = None,
 ):
     """GridSearchCV(Ridge, scoring=pairwise_accuracy, cv=KFold) on the gram.
 
@@ -184,15 +239,31 @@ def ridge_cv_dual(
     the best alpha).  Reproduces sklearn semantics exactly: unshuffled
     consecutive folds (ridge_regression_decoding.py:115 ``cv=5``), unweighted
     mean of fold scores, first-argmax tie-break, refit on the full train set.
+
+    ``cv_solver``: selection fast path (see _cv_fold_scores) — the refit
+    below always stays at the strict HIGHEST cho_solve regardless.
     """
     n = K.shape[0]
     alphas_arr = jnp.asarray(alphas, dtype=jnp.float32)
+    # commit Y to device ONCE: numpy fold slices would re-upload ~[n_tr, D]
+    # per jitted fold call (5x ~20 MB per CV at production shapes — noise on
+    # PCIe hosts, seconds through a dev tunnel)
+    Y = jnp.asarray(Y)
+    K = jnp.asarray(K)
     fold_scores = []
     for train_idx, val_idx in kfold_indices(n, n_splits):
-        K_tt = K[np.ix_(train_idx, train_idx)]
-        K_vt = K[np.ix_(val_idx, train_idx)]
+        # KFold validation folds are CONTIGUOUS ranges (sklearn unshuffled
+        # cv=5), so the fold blocks assemble from slices — inside the jit.
+        # The previous K[np.ix_(tr, tr)] double-axis gather of ~27M elements
+        # dominated the whole CV sweep on TPU (5.9 s of which ~5 s was
+        # gathers — swapping the solver didn't move the total; see
+        # benchmarks/profile_whole_brain_stages.py).  Slice assembly took it
+        # to 453 ms.
+        lo, hi = int(val_idx[0]), int(val_idx[-1]) + 1
+        assert np.array_equal(val_idx, np.arange(lo, hi))
         fold_scores.append(
-            _cv_fold_scores(K_tt, K_vt, Y[train_idx], Y[val_idx], alphas_arr, scorer=scorer)
+            _cv_fold_scores_sliced(K, Y, lo, hi, alphas_arr,
+                                   scorer=scorer, solver=cv_solver)
         )
     mean_scores = jnp.mean(jnp.stack(fold_scores), axis=0)
     # first-argmax with f32 tie tolerance (exact float64 ties in sklearn can

@@ -104,3 +104,25 @@ def test_cv_alpha_selection_matches_gridsearchcv(rng):
     acc_ours = float(pairwise_accuracy(Y[:12], preds))
     acc_ref = _ref_pairwise_acc(Y[:12], ref_preds)
     assert abs(acc_ours - acc_ref) < 1e-4
+
+
+def test_cv_fast_solver_selection_matches_strict():
+    """schur-cb selection fast path picks the same alpha as the strict
+    HIGHEST cho_solve oracle on planted-signal problems."""
+    import jax.numpy as jnp
+
+    from multimodal_decoding_tpu.ops.ridge import ridge_cv_dual
+
+    rng = np.random.RandomState(0)
+    n, v, d = 120, 300, 16
+    for seed in range(3):
+        r = np.random.RandomState(seed)
+        W = r.randn(v, d).astype(np.float32)
+        X = r.randn(n, v).astype(np.float32)
+        Y = (X @ W + 3.0 * r.randn(n, d)).astype(np.float32)
+        K = jnp.asarray(X @ X.T)
+        best_strict, scores_strict, _ = ridge_cv_dual(K, Y, [1e0, 1e2, 1e4], n_splits=5)
+        best_fast, scores_fast, _ = ridge_cv_dual(K, Y, [1e0, 1e2, 1e4], n_splits=5,
+                                                  cv_solver="schur-cb")
+        assert best_fast == best_strict, seed
+        np.testing.assert_allclose(scores_fast, scores_strict, atol=2e-3)
