@@ -166,10 +166,16 @@ def fit_block_cv(
     eye = jnp.eye(Kdim, dtype=G_full.dtype)
 
     def fold_scores(val_idx):
-        Xv = X_train_g[val_idx]  # [nv, B, K]
+        # contiguous KFold ranges lower to SLICES, not integer-array gathers
+        # (the whole-brain CV sweep lost 13x to gather lowering of exactly
+        # this pattern — docs/PERF_NOTES.md round-3 whole-brain section)
+        lo, hi = int(val_idx[0]), int(val_idx[-1]) + 1
+        if np.array_equal(val_idx, np.arange(lo, hi)):
+            Xv, Yv, Yv_sel_rows = X_train_g[lo:hi], Y_train[lo:hi], Y_sel[lo:hi]
+        else:
+            Xv, Yv, Yv_sel_rows = X_train_g[val_idx], Y_train[val_idx], Y_sel[val_idx]
         if cv_dtype is not None:
             Xv = Xv.astype(cv_dtype)
-        Yv = Y_train[val_idx]
         # scale-invariance: the fold scorer only normalises the latents —
         # prediction row norms cancel in the rank comparisons
         # (M.pairwise_acc_scale_invariant)
@@ -180,7 +186,7 @@ def fit_block_cv(
             precision=cv_precision,
         )
         XtY_val = jnp.einsum(
-            "nbk,nd->bkd", Xv, Y_sel[val_idx], preferred_element_type=jnp.float32,
+            "nbk,nd->bkd", Xv, Yv_sel_rows, preferred_element_type=jnp.float32,
             precision=cv_precision,
         )
         G_tr = G_full - G_val
