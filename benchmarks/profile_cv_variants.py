@@ -163,6 +163,9 @@ def main():
                 if apply_only:
                     S.spd_solve = orig
                     E.spd_solve = orig
+                    # drop the traces built WITH the patch, or later
+                    # same-static-args variants reuse them
+                    jax.clear_caches()
 
 
 if __name__ == "__main__":

@@ -92,6 +92,7 @@ def main():
 
     fig_dir = os.path.join(args.out_dir, "figures")
     written = []
+    per_subject = None
     for metric in args.figure_metrics:
         cfg = PermutationConfig(
             subjects=args.subjects,
@@ -128,9 +129,10 @@ def main():
             mesh_by_hemi, stats["tfce_values"], metric, cutoff, fig_dir,
             annot_by_hemi=annot_by_hemi, views=tuple(args.views),
         ))
-        per_subject = None
-        if args.method_panels or args.method_figures:
-            # multi-GB unpickle at fsaverage7 — load once, serve both flags
+        if per_subject is None and (args.method_panels or args.method_figures):
+            # multi-GB unpickle at fsaverage7, metric-INDEPENDENT (the loader
+            # only reads subject/model/feature fields) — load once, serve
+            # both flags across every metric of the loop
             per_subject = load_per_subject_scores(cfg)
         if args.method_panels:
             written += plot_method_panels(

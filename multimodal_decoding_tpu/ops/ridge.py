@@ -181,7 +181,11 @@ def _cv_fold_scores(K_tt, K_vt, Y_tr, Y_va, alphas, scorer=None,
         return scorer(Y_va, preds)
 
     if solver is None:
-        return jax.vmap(one_alpha)(alphas)
+        # lax.map, NOT vmap: they measured identical (batched large
+        # Choleskys serialise anyway) and vmap materialises all n_alphas
+        # [n_tr, n_tr] systems + factors at once (~2 GB at whole-brain
+        # shapes; a denser alpha grid would OOM for no gain)
+        return jax.lax.map(one_alpha, alphas)
 
     from multimodal_decoding_tpu.ops.solvers import spd_inverse
 
@@ -260,11 +264,20 @@ def ridge_cv_dual(
         # benchmarks/profile_whole_brain_stages.py).  Slice assembly took it
         # to 453 ms.
         lo, hi = int(val_idx[0]), int(val_idx[-1]) + 1
-        assert np.array_equal(val_idx, np.arange(lo, hi))
-        fold_scores.append(
-            _cv_fold_scores_sliced(K, Y, lo, hi, alphas_arr,
-                                   scorer=scorer, solver=cv_solver)
-        )
+        if np.array_equal(val_idx, np.arange(lo, hi)):
+            fold_scores.append(
+                _cv_fold_scores_sliced(K, Y, lo, hi, alphas_arr,
+                                       scorer=scorer, solver=cv_solver)
+            )
+        else:
+            # gather fallback for non-contiguous folds (a bare assert would
+            # vanish under python -O and silently slice wrong rows)
+            K_tt = K[np.ix_(train_idx, train_idx)]
+            K_vt = K[np.ix_(val_idx, train_idx)]
+            fold_scores.append(
+                _cv_fold_scores(K_tt, K_vt, Y[train_idx], Y[val_idx],
+                                alphas_arr, scorer=scorer, solver=cv_solver)
+            )
     mean_scores = jnp.mean(jnp.stack(fold_scores), axis=0)
     # first-argmax with f32 tie tolerance (exact float64 ties in sklearn can
     # split by f32 noise here; "ties -> first alpha" is the sklearn semantic)

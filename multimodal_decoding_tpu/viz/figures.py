@@ -91,24 +91,22 @@ def plot_acc_score_panels(mesh_by_hemi, per_subject_scores, subjects, out_dir,
             vmin=0.5 if is_acc else None,
             cmap=CMAP_POS_ONLY if is_acc else CMAP,
         )
-        for hemi in HEMIS:
-            group = np.nanmean(
+        groups = {
+            hemi: np.nanmean(
                 np.stack([np.asarray(per_subject_scores[s][hemi][metric])
                           for s in subjects]), axis=0,
             )
+            for hemi in HEMIS
+        }
+        for hemi in HEMIS:
             for view in views:
                 written.append(_panel(
-                    mesh_by_hemi[hemi], group, hemi, view,
+                    mesh_by_hemi[hemi], groups[hemi], hemi, view,
                     os.path.join(panel_dir, f"{metric}_{view}_{hemi}.png"), **kw,
                 ))
-        # colorbar plot (first hemi/view, colorbar=True, cropped) — re-average
-        # for HEMIS[0]: the loop variable above leaves the LAST hemi's data
-        group = np.nanmean(
-            np.stack([np.asarray(per_subject_scores[s][HEMIS[0]][metric])
-                      for s in subjects]), axis=0,
-        )
+        # colorbar plot (first hemi/view, colorbar=True, cropped)
         written.append(_panel(
-            mesh_by_hemi[HEMIS[0]], group, HEMIS[0], views[0],
+            mesh_by_hemi[HEMIS[0]], groups[HEMIS[0]], HEMIS[0], views[0],
             os.path.join(panel_dir, f"colorbar_{metric}.png"),
             colorbar=True, **kw,
         ))

@@ -113,7 +113,6 @@ def test_cv_fast_solver_selection_matches_strict():
 
     from multimodal_decoding_tpu.ops.ridge import ridge_cv_dual
 
-    rng = np.random.RandomState(0)
     n, v, d = 120, 300, 16
     for seed in range(3):
         r = np.random.RandomState(seed)
