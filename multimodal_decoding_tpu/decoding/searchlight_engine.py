@@ -137,6 +137,12 @@ def fit_block_cv(
     licensed; the refit gram/solve and the full-gram fold differences stay
     in f32 at ``precision``.  Gate any default change on the on-device
     alpha-agreement run (benchmarks/check_cv_parity.py).
+
+    ``cv_unroll``, ``cv_alpha_batch`` and the ``fused*`` scorers are
+    retained as MEASURED-DEAD experiments (docs/PERF_NOTES.md round-3
+    ladder): none beats the shipped xla path at production shapes, and the
+    table there records why — keep them for re-evaluation on future chips,
+    do not ship them as defaults.
     """
     cv_precision = precision if cv_precision is None else cv_precision
     cv_solver = solver if cv_solver is None else cv_solver
