@@ -486,7 +486,15 @@ def null_max_tfce_statistics(cfg: PermutationConfig, mesh=None,
                     np.where(np.isnan(tfce_chunk), -np.inf, tfce_chunk), axis=1)
         null_max = np.maximum(null_max, hemi_max)
 
-    np.savez(cache, null_max=null_max)
+    # multi-process runs compute identical replicated results on every host;
+    # only process 0 publishes the shared-filesystem artifact (atomically —
+    # a killed run must not leave a truncated npz that poisons the cache)
+    import jax
+
+    if jax.process_index() == 0:
+        tmp = cache + f".{os.getpid()}.tmp.npz"
+        np.savez(tmp, null_max=null_max)
+        os.replace(tmp, cache)
     return {"null_max": null_max}
 
 

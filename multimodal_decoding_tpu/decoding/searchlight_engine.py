@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodal_decoding_tpu.ops import metrics as M
-from multimodal_decoding_tpu.ops.ridge import kfold_indices
+from multimodal_decoding_tpu.ops.ridge import first_argmax_with_tol, kfold_indices
 from multimodal_decoding_tpu.ops.solvers import spd_solve
 
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -334,11 +334,11 @@ def fit_block_cv(
     scores = jnp.mean(
         jnp.stack([fold_scores(np.asarray(v)) for _, v in folds]), axis=0
     )  # [A, B]
-    # First-argmax with a small tolerance: accuracy ties that are exact in
-    # sklearn's float64 land within f32 noise here; eps makes the tie-break
-    # deterministic and sklearn-parity ("ties -> first alpha").
-    mx = jnp.max(scores, axis=0)
-    best = jnp.argmax(scores >= mx - 1e-6, axis=0)  # [B]
+    # Epsilon-band first-argmax: ties exact in sklearn's float64 can split
+    # by f32 noise here, so the first alpha within the band wins — full
+    # semantics (incl. the documented sub-tol deviation from sklearn) at
+    # ops.ridge.first_argmax_with_tol.
+    best = first_argmax_with_tol(scores, axis=0)  # [B]
     best_alpha = alphas[best]
 
     A_mat = G_full + best_alpha[:, None, None] * eye

@@ -225,9 +225,21 @@ def tfce_map_native(
     e: float = 1.0,
     dh=0.1,
     cluster_extents_measure: str = "num_vertices",
-    n_threads: int = 0,
+    n_threads: int | None = None,
 ) -> np.ndarray:
-    """Batched native TFCE; ``values`` may be [V] or [n_maps, V]."""
+    """Batched native TFCE; ``values`` may be [V] or [n_maps, V].
+
+    ``n_threads``: host threads fanning out over the MAPS axis (each map's
+    dendrogram pass is sequential; maps are independent).  ``None`` reads
+    the ``MMD_TFCE_THREADS`` env var; unset/0 means all hardware threads
+    (std::thread::hardware_concurrency).  The 10k-permutation null sweep is
+    the production consumer: ~33 ms/map single-thread at fsaverage7, so a
+    v5e host with tens of cores brings the host TFCE stage to the same
+    order as the 16 s on-device t-map sweep (docs/PERF_NOTES.md round-4
+    TFCE scaling entry).
+    """
+    if n_threads is None:
+        n_threads = int(os.environ.get("MMD_TFCE_THREADS", "0") or 0)
     lib = _load_native()
     if lib is None:
         raise RuntimeError("native TFCE library not built (native/libtfce.so)")
@@ -263,8 +275,13 @@ def tfce_map_native(
 
 
 def tfce_map(values, edges, edge_lengths_arr=None, h=2.0, e=1.0, dh=0.1,
-             cluster_extents_measure="num_vertices", backend="auto", n_threads=0):
-    """Dispatch: native for batches when built, numpy otherwise."""
+             cluster_extents_measure="num_vertices", backend="auto",
+             n_threads=None):
+    """Dispatch: native for batches when built, numpy otherwise.
+
+    ``n_threads`` (native backend only): None -> MMD_TFCE_THREADS env var,
+    unset/0 -> all hardware threads.  See tfce_map_native.
+    """
     if backend == "numpy" or (backend == "auto" and not native_available()):
         vals = np.atleast_2d(np.asarray(values))
         out = np.stack(

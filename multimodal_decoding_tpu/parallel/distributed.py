@@ -90,14 +90,30 @@ def sharded_searchlight_step(mesh: Mesh, layout: TestLayout, n_train: int, n_tes
 
 
 def sharded_searchlight_cv_step(mesh: Mesh, layout: TestLayout, n_train: int,
-                                n_test: int, alphas):
+                                n_test: int, alphas, cv_solver: str | None = None,
+                                cv_dtype="shipped", cv_precision=None):
     """Vertex-sharded alpha-CV searchlight block (the BASELINE config).
 
-    Selection runs at DEFAULT precision with the XLA schur-cb inverse
-    (collective-free inside shard_map); refit stays HIGHEST cholesky.
+    Selection runs the SHIPPED fast path by default — ``cv_solver=None`` and
+    ``cv_dtype="shipped"`` resolve through the same per-platform functions the
+    production driver uses (decoding.searchlight.default_cv_solver /
+    default_cv_dtype: schur-pallas + bf16 selection storage on TPU, the
+    schur-cb/f32 fallback elsewhere) so a dry run of this step certifies the
+    production configuration, not a sibling.  The refit stays HIGHEST
+    cholesky (collective-free inside shard_map) either way.
     """
+    from multimodal_decoding_tpu.decoding.searchlight import (
+        default_cv_dtype,
+        default_cv_solver,
+    )
     from multimodal_decoding_tpu.decoding.searchlight_engine import fit_block_cv
 
+    if cv_solver is None:
+        cv_solver = default_cv_solver()
+    if cv_dtype == "shipped":
+        cv_dtype = default_cv_dtype()
+    if cv_precision is None:
+        cv_precision = jax.lax.Precision.DEFAULT
     alphas_arr = jnp.asarray(alphas, dtype=jnp.float32)
 
     def local_step(X_all, Y_train, Y_test, Y_imag, idx):
@@ -107,18 +123,23 @@ def sharded_searchlight_cv_step(mesh: Mesh, layout: TestLayout, n_train: int,
         Xim = patches[n_train + n_test :]
         W, best_alpha, _ = fit_block_cv(
             Xtr, Y_train, alphas_arr,
-            cv_precision=jax.lax.Precision.DEFAULT, cv_solver="schur-cb",
+            cv_precision=cv_precision, cv_solver=cv_solver, cv_dtype=cv_dtype,
         )
         scores = score_block(
             predict_block(Xte, W), predict_block(Xim, W), Y_test, Y_imag, layout
         )
         return dict(scores, best_alpha=best_alpha)
 
+    # check_vma=False: pallas_call (the schur-pallas leaf) does not annotate
+    # its outputs' varying-mesh-axes, which the default vma check rejects
+    # inside shard_map; the specs here are plain SPMD (everything either
+    # replicated or vertex-sharded) so the check adds nothing.
     fn = shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P("v", None)),
         out_specs=P("v"),
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -149,7 +170,17 @@ def sharded_null_t_maps(scores, permutations, popmean: float, mesh: Mesh):
     fn = shard_map(
         local, mesh=mesh, in_specs=(P(), P("v", None)), out_specs=P("v", None)
     )
-    return jax.jit(fn)(jnp.asarray(scores), jnp.asarray(permutations))
+    # Inputs arrive replicated via an explicit sharding (multi-process safe:
+    # every host passes the same full arrays) and the output is re-replicated
+    # by out_shardings — one all-gather over ICI.  Without it the [P, V]
+    # result stays permutation-sharded, which np.asarray on a multi-HOST run
+    # rejects (not fully addressable); fully-replicated arrays convert fine.
+    from multimodal_decoding_tpu.parallel.multihost import replicated_from_host
+
+    rep = NamedSharding(mesh, P())
+    scores_d = replicated_from_host(np.asarray(scores), mesh)
+    perms_d = replicated_from_host(np.asarray(permutations), mesh)
+    return jax.jit(fn, out_shardings=rep)(scores_d, perms_d)
 
 
 def multichip_training_step(mesh_v: Mesh, mesh_f: Mesh):
@@ -207,7 +238,20 @@ def multichip_training_step(mesh_v: Mesh, mesh_f: Mesh):
         jnp.asarray(Y_train), jnp.asarray(Y_test), jnp.asarray(Y_imag), idx_sharded,
     )
 
-    # (3) vertex-sharded alpha-CV block (the BASELINE searchlight config)
+    # (3) vertex-sharded alpha-CV block (the BASELINE searchlight config) at
+    # the SHIPPED selection settings: solver/dtype resolve per-platform
+    # through decoding.searchlight.default_cv_solver/default_cv_dtype, so
+    # this step validates the production path (schur-pallas + bf16 selection
+    # on TPU; the documented schur-cb/f32 fallback on CPU meshes)
+    from multimodal_decoding_tpu.decoding.searchlight import (
+        default_cv_dtype,
+        default_cv_solver,
+    )
+
+    print(
+        f"multichip CV step shipped config: cv_solver={default_cv_solver()}, "
+        f"cv_dtype={default_cv_dtype()}"
+    )
     cv_step = sharded_searchlight_cv_step(
         mesh_v, layout, n_train, n_test, alphas=[1e-1, 1e1, 1e3]
     )
@@ -216,6 +260,23 @@ def multichip_training_step(mesh_v: Mesh, mesh_f: Mesh):
         jnp.asarray(Y_train), jnp.asarray(Y_test), jnp.asarray(Y_imag), idx_sharded,
     )
     scores = dict(scores, **{f"cv_{m}": s for m, s in cv_scores.items()})
+
+    # (3b) the TPU-shipped combination EXPLICITLY (schur-pallas + bf16
+    # selection storage): on a CPU mesh the Pallas leaf runs under the
+    # interpreter, so this certifies that the production solver/dtype
+    # combination compiles and executes under shard_map even when the dry
+    # run has no TPU attached
+    cv_step_tpu_cfg = sharded_searchlight_cv_step(
+        mesh_v, layout, n_train, n_test, alphas=[1e-1, 1e1, 1e3],
+        cv_solver="schur-pallas", cv_dtype=jnp.bfloat16,
+    )
+    cv_scores_tpu_cfg = cv_step_tpu_cfg(
+        X_all_rep,
+        jnp.asarray(Y_train), jnp.asarray(Y_test), jnp.asarray(Y_imag), idx_sharded,
+    )
+    scores = dict(
+        scores, **{f"cvtpu_{m}": s for m, s in cv_scores_tpu_cfg.items()}
+    )
 
     # (4) permutation-sharded group-null t-maps with per-host-sharded null
     # ingestion (the production permutation pipeline's multi-chip path)

@@ -108,6 +108,22 @@ def replicate_rows(x_row_sharded: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.jit(lambda x: x, out_shardings=rep)(x_row_sharded)
 
 
+def replicated_from_host(arr: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Host array (same value on every host) -> fully replicated global array.
+
+    Single-process: a plain replicated device_put.  Multi-process: every
+    process contributes its full local copy per local device
+    (make_array_from_process_local_data with a replicated spec) — zero
+    cross-host traffic, and the result is fully addressable everywhere, so
+    downstream np.asarray conversions are legal on every host.
+    """
+    arr = np.asarray(arr)
+    rep = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(rep, arr, arr.shape)
+    return jax.device_put(arr, rep)
+
+
 def replicate_host_filled(fills, mesh: Mesh) -> jax.Array:
     """Union of disjointly-filled per-host tensors via one on-device reduce.
 

@@ -125,3 +125,43 @@ def test_cv_fast_solver_selection_matches_strict():
                                                   cv_solver="schur-cb")
         assert best_fast == best_strict, seed
         np.testing.assert_allclose(scores_fast, scores_strict, atol=2e-3)
+
+
+def test_first_argmax_tie_band_semantics():
+    """Property-test the documented epsilon-band tie-break (VERDICT r3 #5).
+
+    The selection rule is: first index within ALPHA_TIE_TOL of the max.
+    That means (a) exact ties pick the first index (sklearn parity), and
+    (b) a LATER index that wins by LESS than the tolerance loses to the
+    earlier one — the documented deviation from sklearn's exact float64
+    argmax.  Wins larger than the tolerance behave exactly like argmax.
+    """
+    import jax.numpy as jnp
+
+    from multimodal_decoding_tpu.ops.ridge import ALPHA_TIE_TOL, first_argmax_with_tol
+
+    # (a) exact tie -> first index
+    assert int(first_argmax_with_tol(jnp.array([0.5, 0.5, 0.4]))) == 0
+    # (b) sub-tolerance win by a later alpha -> the EARLIER alpha still wins
+    sub = ALPHA_TIE_TOL / 4
+    assert int(first_argmax_with_tol(jnp.array([0.5, 0.5 + sub, 0.4]))) == 0
+    # (c) super-tolerance win -> plain argmax
+    sup = ALPHA_TIE_TOL * 4
+    assert int(first_argmax_with_tol(jnp.array([0.5, 0.5 + sup, 0.4]))) == 1
+    # (d) batched axis semantics match the scalar rule per column
+    scores = jnp.array([
+        [0.5, 0.5, 0.5],
+        [0.5, 0.5 + sub, 0.5 + sup],
+        [0.4, 0.4, 0.4],
+    ])  # [n_alphas, B]
+    np.testing.assert_array_equal(
+        np.asarray(first_argmax_with_tol(scores, axis=0)), [0, 0, 1]
+    )
+    # (e) randomized: the chosen index is always within tol of the max and
+    # is the first such index
+    r = np.random.RandomState(0)
+    for _ in range(50):
+        s = r.rand(6).astype(np.float32)
+        i = int(first_argmax_with_tol(jnp.asarray(s)))
+        assert s[i] >= s.max() - ALPHA_TIE_TOL
+        assert not np.any(s[:i] >= s.max() - ALPHA_TIE_TOL)

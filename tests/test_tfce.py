@@ -192,3 +192,28 @@ def test_tfce_native_disconnected_and_uniform(mesh):
     ref = T.tfce_map_numpy(vals, no_edges, np.zeros(0), dh=0.3)
     nat = T.tfce_map_native(vals[None], no_edges, np.zeros(0), dh=0.3)[0]
     np.testing.assert_allclose(nat, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_native_tfce_thread_knob(mesh):
+    """n_threads fan-out over the maps axis is a pure parallelisation: any
+    thread count (explicit or via MMD_TFCE_THREADS) gives identical maps."""
+    import os
+
+    if not T.native_available():
+        pytest.skip("native TFCE library not built")
+    edges, lengths = edge_lengths(mesh)
+    v = mesh.n_vertices
+    rng = np.random.RandomState(3)
+    maps = rng.randn(8, v).astype(np.float32) * 2.0
+    base = T.tfce_map_native(maps, edges, lengths, n_threads=1)
+    for nt in (2, 4):
+        np.testing.assert_array_equal(
+            T.tfce_map_native(maps, edges, lengths, n_threads=nt), base
+        )
+    os.environ["MMD_TFCE_THREADS"] = "3"
+    try:
+        np.testing.assert_array_equal(
+            T.tfce_map_native(maps, edges, lengths), base
+        )
+    finally:
+        del os.environ["MMD_TFCE_THREADS"]
