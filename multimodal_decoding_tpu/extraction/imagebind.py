@@ -162,7 +162,13 @@ def params_from_torch_state_dict(sd: dict, cfg: ImageBindConfig) -> dict:
       modality_heads.vision.{0: LayerNorm, 2: Linear}
       modality_heads.text.proj.{0: LayerNorm, 1: Linear}
       modality_postprocessors.text.1.log_logit_scale
+
+    The full key map is validated up front (validate_state_dict): missing
+    keys, shape mismatches, and unconsumed vision/text-tower keys all raise
+    with explicit lists, so key-map drift against a future checkpoint fails
+    loudly instead of silently converting garbage.
     """
+    validate_state_dict(sd, cfg)
     d_v = cfg.vision_embed_dim
     conv_w = _np(sd["modality_preprocessors.vision.rgbt_stem.proj.1.weight"])
     # Conv3d [D, 3, T, p, p] with stride == kernel is a plain matmul over
@@ -200,51 +206,132 @@ def params_from_torch_state_dict(sd: dict, cfg: ImageBindConfig) -> dict:
     return {"vision": vision, "text": text}
 
 
-def fake_torch_state_dict(cfg: ImageBindConfig, seed: int = 0) -> dict:
-    """Official-format random state dict (numpy), for offline converter and
-    parity tests — every key/shape the converter consumes, none it doesn't."""
-    rng = np.random.RandomState(seed)
-    sd = {}
+def expected_state_dict_manifest(cfg: ImageBindConfig) -> dict:
+    """{key: shape} of every official-checkpoint tensor the converter reads.
 
-    def add(name, *shape):
-        sd[name] = rng.randn(*shape).astype(np.float32) * 0.05
-
+    The single source of truth for key-map drift detection:
+    ``fake_torch_state_dict`` builds its offline test dicts from this table,
+    ``validate_state_dict`` (run inside ``params_from_torch_state_dict``)
+    checks a real checkpoint against it, and
+    ``tests/make_extractor_goldens.py --real`` dumps the official
+    ``imagebind_huge.pth``'s own key->shape manifest as a JSON fixture that
+    ``tests/test_imagebind.py`` cross-checks against this function whenever
+    the fixture is present (/root/reference/feature_extraction/
+    extract_imagebind_features.py:35-42 is the pretrained consumer).
+    Iteration order is load-bearing for ``fake_torch_state_dict`` seeding —
+    append only.
+    """
     d_v, d_t = cfg.vision_embed_dim, cfg.text_embed_dim
-    add("modality_preprocessors.vision.cls_token", 1, 1, d_v)
-    add("modality_preprocessors.vision.rgbt_stem.proj.1.weight",
-        d_v, 3, cfg.n_frames, cfg.patch_size, cfg.patch_size)
-    add("modality_preprocessors.vision.pos_embedding_helper.pos_embed",
-        1, cfg.n_patches + 1, d_v)
-    add("modality_preprocessors.text.token_embedding.weight", cfg.vocab_size, d_t)
-    add("modality_preprocessors.text.pos_embed", 1, cfg.context_length, d_t)
-    add("modality_trunks.vision.pre_transformer_layer.0.weight", d_v)
-    add("modality_trunks.vision.pre_transformer_layer.0.bias", d_v)
+    man = {
+        "modality_preprocessors.vision.cls_token": (1, 1, d_v),
+        "modality_preprocessors.vision.rgbt_stem.proj.1.weight":
+            (d_v, 3, cfg.n_frames, cfg.patch_size, cfg.patch_size),
+        "modality_preprocessors.vision.pos_embedding_helper.pos_embed":
+            (1, cfg.n_patches + 1, d_v),
+        "modality_preprocessors.text.token_embedding.weight":
+            (cfg.vocab_size, d_t),
+        "modality_preprocessors.text.pos_embed": (1, cfg.context_length, d_t),
+        "modality_trunks.vision.pre_transformer_layer.0.weight": (d_v,),
+        "modality_trunks.vision.pre_transformer_layer.0.bias": (d_v,),
+    }
     for tower, d, n_layers in (("vision", d_v, cfg.vision_layers),
                                ("text", d_t, cfg.text_layers)):
         mlp = int(d * cfg.mlp_ratio)
         for i in range(n_layers):
             p = f"modality_trunks.{tower}.blocks.{i}"
-            add(f"{p}.attn.in_proj_weight", 3 * d, d)
-            add(f"{p}.attn.in_proj_bias", 3 * d)
-            add(f"{p}.attn.out_proj.weight", d, d)
-            add(f"{p}.attn.out_proj.bias", d)
-            add(f"{p}.norm_1.weight", d)
-            add(f"{p}.norm_1.bias", d)
-            add(f"{p}.norm_2.weight", d)
-            add(f"{p}.norm_2.bias", d)
-            add(f"{p}.mlp.fc1.weight", mlp, d)
-            add(f"{p}.mlp.fc1.bias", mlp)
-            add(f"{p}.mlp.fc2.weight", d, mlp)
-            add(f"{p}.mlp.fc2.bias", d)
-    add("modality_heads.vision.0.weight", d_v)
-    add("modality_heads.vision.0.bias", d_v)
-    add("modality_heads.vision.2.weight", cfg.out_embed_dim, d_v)
-    add("modality_heads.text.proj.0.weight", d_t)
-    add("modality_heads.text.proj.0.bias", d_t)
-    add("modality_heads.text.proj.1.weight", cfg.out_embed_dim, d_t)
-    sd["modality_postprocessors.text.1.log_logit_scale"] = np.asarray(
-        np.log(cfg.logit_scale_init), dtype=np.float32
-    )
+            man[f"{p}.attn.in_proj_weight"] = (3 * d, d)
+            man[f"{p}.attn.in_proj_bias"] = (3 * d,)
+            man[f"{p}.attn.out_proj.weight"] = (d, d)
+            man[f"{p}.attn.out_proj.bias"] = (d,)
+            man[f"{p}.norm_1.weight"] = (d,)
+            man[f"{p}.norm_1.bias"] = (d,)
+            man[f"{p}.norm_2.weight"] = (d,)
+            man[f"{p}.norm_2.bias"] = (d,)
+            man[f"{p}.mlp.fc1.weight"] = (mlp, d)
+            man[f"{p}.mlp.fc1.bias"] = (mlp,)
+            man[f"{p}.mlp.fc2.weight"] = (d, mlp)
+            man[f"{p}.mlp.fc2.bias"] = (d,)
+    man["modality_heads.vision.0.weight"] = (d_v,)
+    man["modality_heads.vision.0.bias"] = (d_v,)
+    man["modality_heads.vision.2.weight"] = (cfg.out_embed_dim, d_v)
+    man["modality_heads.text.proj.0.weight"] = (d_t,)
+    man["modality_heads.text.proj.0.bias"] = (d_t,)
+    man["modality_heads.text.proj.1.weight"] = (cfg.out_embed_dim, d_t)
+    man["modality_postprocessors.text.1.log_logit_scale"] = ()
+    return man
+
+
+#: Vision/text-tower state-dict entries that legitimately carry no weight the
+#: forward needs: registered buffers (the text causal mask is reconstructed
+#: analytically in text_forward).  Anything ELSE unconsumed inside the
+#: vision/text towers is key-map drift and validate_state_dict raises on it.
+STATE_DICT_BUFFER_WHITELIST = (
+    "modality_preprocessors.text.mask",
+)
+
+#: Prefixes of the two towers this module rebuilds.  Keys outside them
+#: (audio/depth/thermal/imu modalities of the full ImageBind checkpoint) are
+#: out of scope and ignored, as in the reference's TEXT/VISION-only usage.
+_TOWER_PREFIXES = (
+    "modality_preprocessors.vision.", "modality_preprocessors.text.",
+    "modality_trunks.vision.", "modality_trunks.text.",
+    "modality_heads.vision.", "modality_heads.text.",
+    "modality_postprocessors.text.",
+)
+
+
+def validate_state_dict(sd: dict, cfg: ImageBindConfig) -> None:
+    """Fail loudly on key-map drift between ``sd`` and this module.
+
+    Raises ValueError listing (a) expected keys missing from ``sd``,
+    (b) shape mismatches, and (c) vision/text-tower keys in ``sd`` that the
+    converter would silently ignore (modulo the documented buffer
+    whitelist).  Scalar-vs-[1] layouts are tolerated for the logit scale
+    (the converter reshapes it).
+    """
+    man = expected_state_dict_manifest(cfg)
+    problems = []
+    for k, shape in man.items():
+        if k not in sd:
+            problems.append(f"missing: {k} {shape}")
+            continue
+        got = tuple(int(s) for s in _np(sd[k]).shape)
+        if got != shape and not (
+            k == "modality_postprocessors.text.1.log_logit_scale"
+            and int(np.prod(got, dtype=np.int64)) == 1
+        ):
+            problems.append(f"shape mismatch: {k} expected {shape}, got {got}")
+    unconsumed = [
+        k for k in sd
+        if k.startswith(_TOWER_PREFIXES)
+        and k not in man
+        and k not in STATE_DICT_BUFFER_WHITELIST
+    ]
+    if unconsumed:
+        problems.append(
+            "unconsumed vision/text-tower keys (key-map drift? if these are "
+            "parameter-free buffers, extend STATE_DICT_BUFFER_WHITELIST): "
+            + ", ".join(sorted(unconsumed)[:20])
+        )
+    if problems:
+        raise ValueError(
+            "ImageBind state dict does not match the converter's key map:\n  "
+            + "\n  ".join(problems[:40])
+        )
+
+
+def fake_torch_state_dict(cfg: ImageBindConfig, seed: int = 0) -> dict:
+    """Official-format random state dict (numpy), for offline converter and
+    parity tests — every key/shape the converter consumes, none it doesn't.
+    Built from ``expected_state_dict_manifest`` (same draw order as always:
+    manifest order is insertion order)."""
+    rng = np.random.RandomState(seed)
+    sd = {}
+    for name, shape in expected_state_dict_manifest(cfg).items():
+        if name == "modality_postprocessors.text.1.log_logit_scale":
+            sd[name] = np.asarray(np.log(cfg.logit_scale_init), dtype=np.float32)
+        else:
+            sd[name] = rng.randn(*shape).astype(np.float32) * 0.05
     return sd
 
 

@@ -287,6 +287,30 @@ def compute_all() -> dict:
     return out
 
 
+def dump_imagebind_state_manifest(out_path: str) -> str | None:
+    """Dump the OFFICIAL imagebind_huge.pth key->shape map as a JSON fixture.
+
+    Runs on the networked capture host alongside --real ($IMAGEBIND_CKPT
+    points at the checkpoint file).  tests/test_imagebind.py cross-checks
+    the landed fixture against extraction.imagebind.
+    expected_state_dict_manifest so converter key-map drift fails loudly
+    offline (VERDICT r3 #6).
+    """
+    ckpt = os.environ.get("IMAGEBIND_CKPT")
+    if not ckpt or not os.path.isfile(ckpt):
+        print("no $IMAGEBIND_CKPT file — skipping state-dict manifest dump")
+        return None
+    import torch
+
+    sd = torch.load(ckpt, map_location="cpu", weights_only=True)
+    if not isinstance(sd, dict) or "state_dict" in sd:
+        sd = sd["state_dict"]
+    man = {k: list(v.shape) for k, v in sd.items()}
+    with open(out_path, "w") as f:
+        json.dump(man, f, indent=1, sort_keys=True)
+    return out_path
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--real", action="store_true", default=False,
@@ -302,6 +326,11 @@ def main(argv=None):
         arrays, manifest = compute_real(args.models)
         os.makedirs(os.path.dirname(out), exist_ok=True)
         np.savez_compressed(out, **arrays)
+        mpath = dump_imagebind_state_manifest(
+            os.path.join(os.path.dirname(out), "imagebind_state_manifest.json")
+        )
+        if mpath:
+            print(f"wrote official ImageBind state-dict manifest: {mpath}")
         with open(out.replace(".npz", "_manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
         print(f"wrote {out} + manifest "

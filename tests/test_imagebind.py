@@ -8,6 +8,8 @@ modules the public ImageBind model composes — driven through the same
 official-format state dict the converter consumes.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -235,3 +237,88 @@ def test_registry_builds_random_imagebind():
         assert cfg is TINY and callable(extract)
     finally:
         ib_mod.ImageBindConfig = orig
+
+
+def test_state_dict_validation_drift_fails_loudly():
+    """Converter key-map drift guard (offline half of VERDICT r3 #6).
+
+    The converter validates its full key map up front: missing keys, shape
+    mismatches, and silently-ignored vision/text-tower keys all raise with
+    explicit lists; out-of-scope modalities (audio/depth/...) are ignored
+    like the reference's TEXT/VISION-only usage.
+    """
+    import pytest
+
+    sd = IB.fake_torch_state_dict(TINY, seed=5)
+    IB.validate_state_dict(sd, TINY)  # clean dict passes
+
+    # extra key from another modality: fine (full checkpoint has 6 towers)
+    ok = dict(sd)
+    ok["modality_trunks.audio.blocks.0.attn.in_proj_weight"] = np.zeros((3, 1))
+    ok["modality_preprocessors.text.mask"] = np.zeros((4, 4))  # whitelisted buffer
+    IB.validate_state_dict(ok, TINY)
+
+    # missing key
+    broken = dict(sd)
+    del broken["modality_heads.text.proj.1.weight"]
+    with pytest.raises(ValueError, match="missing: modality_heads.text.proj.1.weight"):
+        IB.validate_state_dict(broken, TINY)
+
+    # shape mismatch
+    broken = dict(sd)
+    broken["modality_heads.vision.2.weight"] = np.zeros((2, 3), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch: modality_heads.vision.2"):
+        IB.validate_state_dict(broken, TINY)
+
+    # renamed tower key == missing + unconsumed (the FAIR-rename scenario)
+    broken = dict(sd)
+    broken["modality_trunks.vision.blocks.0.attn.qkv.weight"] = broken.pop(
+        "modality_trunks.vision.blocks.0.attn.in_proj_weight"
+    )
+    with pytest.raises(ValueError, match="unconsumed vision/text-tower keys"):
+        IB.validate_state_dict(broken, TINY)
+
+    # a [1]-shaped logit scale (vs scalar) is tolerated — converter reshapes
+    ok = dict(sd)
+    ok["modality_postprocessors.text.1.log_logit_scale"] = np.zeros(1, np.float32)
+    IB.validate_state_dict(ok, TINY)
+
+    # params_from_torch_state_dict runs the validation itself
+    broken = dict(sd)
+    del broken["modality_preprocessors.vision.cls_token"]
+    with pytest.raises(ValueError, match="missing"):
+        IB.params_from_torch_state_dict(broken, TINY)
+
+
+def test_official_manifest_fixture_cross_check():
+    """When the captured imagebind_huge.pth manifest fixture is present
+    (tests/make_extractor_goldens.py --real on a networked host), verify the
+    converter's expected key map against the OFFICIAL checkpoint's."""
+    import json
+
+    import pytest
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "imagebind_state_manifest.json")
+    if not os.path.isfile(path):
+        pytest.skip("official manifest fixture not captured yet (zero-egress box)")
+    with open(path) as f:
+        official = {k: tuple(v) for k, v in json.load(f).items()}
+    cfg = IB.ImageBindConfig()  # imagebind_huge defaults
+    expected = IB.expected_state_dict_manifest(cfg)
+    missing = [k for k in expected if k not in official]
+    mismatched = {
+        k: (expected[k], official[k])
+        for k in expected
+        if k in official and official[k] != expected[k]
+        and not (k.endswith("log_logit_scale")
+                 and int(np.prod(official[k] or (1,))) == 1)
+    }
+    unconsumed = [
+        k for k in official
+        if k.startswith(IB._TOWER_PREFIXES)
+        and k not in expected and k not in IB.STATE_DICT_BUFFER_WHITELIST
+    ]
+    assert not missing, f"converter expects keys absent from the official ckpt: {missing[:10]}"
+    assert not mismatched, f"shape drift vs official ckpt: {mismatched}"
+    assert not unconsumed, f"official tower keys the converter ignores: {unconsumed[:10]}"
