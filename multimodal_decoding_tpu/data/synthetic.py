@@ -59,6 +59,8 @@ def make_synthetic_dataset(
     n_nan_vertices: int = 3,
     seed: int = 0,
     beta_seed: int | None = None,
+    hemis: list | None = None,
+    progress: bool = False,
 ):
     """Build a full synthetic dataset under ``root``.
 
@@ -127,10 +129,13 @@ def make_synthetic_dataset(
                 beta_of(sid).reshape(n_vertices, 1, 1),
             )
 
-    hemis = ["left", "right"] if surface else [None]
+    if hemis is None:
+        hemis = ["left", "right"] if surface else [None]
     for hemi in hemis:
         # train: split by modality dir (betas_train_caption / betas_train_image)
-        for sid, st in zip(train_ids, train_types):
+        for i, (sid, st) in enumerate(zip(train_ids, train_types)):
+            if progress and i % 1000 == 0:
+                print(f"  betas {hemi}: {i}/{n_train} train", flush=True)
             write_beta(f"betas_train_{st}", f"{sid:010d}", sid, hemi)
         # test: both modality dirs, every test id in each
         for st in (IMAGE, CAPTION):

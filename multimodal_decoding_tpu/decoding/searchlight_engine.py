@@ -430,6 +430,42 @@ def _rank_counts(dist: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(dist[..., :, None] < dist[..., None, :], axis=-1)
 
 
+def _gather_perm_diag(C: jnp.ndarray, perm: jnp.ndarray,
+                      mode: str = "gather") -> jnp.ndarray:
+    """Permuted-diagonal pick: out[b, p, i] = C[b, i, perm[(b,) p, i]].
+
+    ``mode`` selects the formulation for the shared 2-D [P, n] shuffle
+    permutations (per-(b, p, i) derangement picks, perm.ndim == 3, are tiny
+    [B, P, 3] gathers and always use the gather path):
+
+    * "gather": advanced-index gather (runs on the TPU's scalar/vector
+      units, not the MXU).
+    * "onehot": one-hot @ counts einsum — per-i batched [B, m] x [m, P]
+      matmuls, MXU-native, bit-exact (0/1 selection of integer counts).
+    * "onehot-bf16": same with bf16 operands and f32 accumulation.  STILL
+      exact: rank counts are integers <= m-1 < 256, all exactly
+      representable in bf16's 8-bit mantissa, and the one-hot rows select a
+      single term so no rounding can occur.  Halves the einsum operand
+      traffic.
+
+    Which mode wins is measured on device (benchmarks/profile_null_variants
+    .py); exactness of the one-hot modes is asserted bitwise there too.
+    """
+    if perm.ndim == 2 and mode != "gather":
+        dt = jnp.bfloat16 if mode == "onehot-bf16" else jnp.float32
+        eye = jnp.eye(C.shape[-1], dtype=dt)
+        E = eye[perm]  # [P, n, m] one-hot rows
+        return jnp.einsum(
+            "bim,pim->bpi", C.astype(dt), E,
+            preferred_element_type=jnp.float32,
+        )
+    if perm.ndim == 2:
+        perm = jnp.broadcast_to(perm[None], (C.shape[0],) + perm.shape)
+    b_idx = jnp.arange(C.shape[0])[:, None, None]
+    i_idx = jnp.arange(C.shape[1])[None, None, :]
+    return C[b_idx, i_idx, perm]
+
+
 def null_score_block(
     preds_test: jnp.ndarray,
     preds_imag: jnp.ndarray,
@@ -438,6 +474,7 @@ def null_score_block(
     layout: TestLayout,
     shuffles: jnp.ndarray,
     imagery_derangements: jnp.ndarray,
+    null_gather: str = "gather",
 ) -> dict:
     """Null-distribution score family for every shuffle -> {metric: [B, P]}.
 
@@ -467,11 +504,7 @@ def null_score_block(
 
     def gather_perm_diag(C, perm):
         """C [B, n, m], perm [B, P, n] or [P, n] -> C[b, i, perm[.., i]] [B, P, n]."""
-        if perm.ndim == 2:
-            perm = jnp.broadcast_to(perm[None], (C.shape[0],) + perm.shape)
-        b_idx = jnp.arange(C.shape[0])[:, None, None]
-        i_idx = jnp.arange(C.shape[1])[None, None, :]
-        return C[b_idx, i_idx, perm]
+        return _gather_perm_diag(C, perm, null_gather)
 
     # Shuffle restricted to each modality's latent rows: the latent rows for
     # modality m are Y_test[sel]; within-modality closure of the shuffles
@@ -521,6 +554,7 @@ def score_and_null_block(
     shuffles: jnp.ndarray,
     imagery_derangements: jnp.ndarray,
     comp_cross_decoding_scores: bool = True,
+    null_gather: str = "gather",
 ) -> tuple:
     """Main + null score families sharing the distance/rank-count tensors.
 
@@ -544,11 +578,7 @@ def score_and_null_block(
     der_idx = derangements[imagery_derangements]  # [B, P, 3]
 
     def gather_perm_diag(C, perm):
-        if perm.ndim == 2:
-            perm = jnp.broadcast_to(perm[None], (C.shape[0],) + perm.shape)
-        b_idx = jnp.arange(C.shape[0])[:, None, None]
-        i_idx = jnp.arange(C.shape[1])[None, None, :]
-        return C[b_idx, i_idx, perm]
+        return _gather_perm_diag(C, perm, null_gather)
 
     def main_acc_from_counts(C, n, m):
         diag = jnp.diagonal(C, axis1=-2, axis2=-1)
@@ -652,7 +682,8 @@ def searchlight_block(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "solver"),
+    static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "solver",
+                     "null_gather"),
 )
 def searchlight_block_with_null(
     X_all,
@@ -671,6 +702,7 @@ def searchlight_block_with_null(
     comp_cross: bool = True,
     precision=HIGHEST,
     solver: str = "cholesky",
+    null_gather: str = "gather",
 ):
     """Block step that also emits the per-shuffle null score family."""
     patches = gather_patches(X_all, idx, mask)
@@ -683,6 +715,7 @@ def searchlight_block_with_null(
     return score_and_null_block(
         preds_test, preds_imag, Y_test, Y_imag, layout, shuffles,
         imagery_derangements, comp_cross_decoding_scores=comp_cross,
+        null_gather=null_gather,
     )
 
 
@@ -690,7 +723,7 @@ def searchlight_block_with_null(
     jax.jit,
     static_argnames=("layout", "comp_cross", "precision", "n_train", "n_test", "n_splits",
                      "solver", "cv_precision", "cv_solver", "cv_scorer", "cv_dtype",
-                     "cv_unroll", "cv_alpha_batch"),
+                     "cv_unroll", "cv_alpha_batch", "null_gather"),
 )
 def searchlight_block_cv_with_null(
     X_all,
@@ -716,6 +749,7 @@ def searchlight_block_cv_with_null(
     cv_dtype=None,
     cv_unroll: bool = False,
     cv_alpha_batch: bool = False,
+    null_gather: str = "gather",
 ):
     """CV block step that also emits the per-shuffle null score family.
 
@@ -741,6 +775,7 @@ def searchlight_block_cv_with_null(
     main, null = score_and_null_block(
         preds_test, preds_imag, Y_test, Y_imag, layout, shuffles,
         imagery_derangements, comp_cross_decoding_scores=comp_cross,
+        null_gather=null_gather,
     )
     main = dict(main)
     main["best_alpha"] = best_alpha

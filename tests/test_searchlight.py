@@ -446,3 +446,48 @@ def test_adjacency_cache_roundtrip(tmp_path, rng):
     idx2, _, _, _ = build_adjacency(coords, n_neighbors=7,
                                     cache_dir=str(tmp_path))
     assert idx2.shape[1] == 7 and len(list(tmp_path.glob("adjacency_*.npz"))) == 2
+
+
+def test_null_gather_modes_bitwise_exact():
+    """The one-hot (incl. bf16) permuted-diagonal formulations are EXACT:
+    rank counts are integers < 256 (bf16-representable) and one-hot rows
+    select a single term, so no rounding can occur.  Both full-block null
+    outputs must match the gather formulation bitwise."""
+    import jax.numpy as jnp
+
+    from multimodal_decoding_tpu.decoding import searchlight_engine as E
+
+    rng = np.random.RandomState(1)
+    C = rng.randint(0, 143, (6, 70, 70)).astype(np.int32)
+    perm = np.stack([rng.permutation(70) for _ in range(9)]).astype(np.int32)
+    g = np.asarray(E._gather_perm_diag(jnp.asarray(C), jnp.asarray(perm), "gather"))
+    for mode in ("onehot", "onehot-bf16"):
+        o = np.asarray(E._gather_perm_diag(jnp.asarray(C), jnp.asarray(perm), mode))
+        assert np.array_equal(o, g.astype(np.float32)), mode
+
+    # end-to-end: searchlight_block_cv_with_null outputs identical per mode
+    n_train, n_test, n_imag, d, v, k, b, P = 24, 10, 3, 4, 40, 5, 8, 6
+    r = np.random.RandomState(2)
+    X_all = jnp.asarray(r.randn(n_train + n_test + n_imag, v).astype(np.float32))
+    Y_tr = jnp.asarray(r.randn(n_train, d).astype(np.float32))
+    Y_te = jnp.asarray(r.randn(n_test, d).astype(np.float32))
+    Y_im = jnp.asarray(r.randn(n_imag, d).astype(np.float32))
+    idx = jnp.asarray(np.stack([r.choice(v, k, replace=False) for _ in range(b)]).astype(np.int32))
+    n_cap = n_test // 2
+    shuffles = jnp.asarray(np.stack([
+        np.concatenate([r.permutation(n_cap), n_cap + r.permutation(n_cap)])
+        for _ in range(P)]).astype(np.int32))
+    ders = jnp.asarray(r.randint(0, 2, (b, P)).astype(np.int32))
+    layout = E.TestLayout.from_stim_types(
+        np.array(["caption"] * n_cap + ["image"] * (n_test - n_cap)))
+    alphas = jnp.asarray([1e0, 1e2], dtype=jnp.float32)
+    outs = {}
+    for mode in ("gather", "onehot", "onehot-bf16"):
+        main, null = E.searchlight_block_cv_with_null(
+            X_all, Y_tr, Y_te, Y_im, idx, None, alphas, shuffles, ders,
+            layout=layout, n_train=n_train, n_test=n_test, null_gather=mode)
+        outs[mode] = {m: np.asarray(val) for m, val in null.items()}
+    for mode in ("onehot", "onehot-bf16"):
+        for m in outs["gather"]:
+            np.testing.assert_array_equal(outs[mode][m], outs["gather"][m],
+                                          err_msg=f"{mode}/{m}")
