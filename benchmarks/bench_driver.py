@@ -81,10 +81,15 @@ def warm_adjacency(root: str, out_dir: str):
 import time, os
 import numpy as np
 from multimodal_decoding_tpu.io.gifti import read_gifti
+from multimodal_decoding_tpu.io.surface import read_freesurfer_geometry
 from multimodal_decoding_tpu.decoding.searchlight import build_adjacency
 from glob import glob
 
-coords = np.load(os.path.join({root!r}, "coords.npy"))
+# read the coords back through the SAME path the CLI uses: the cache key
+# hashes coordinate bytes, and the FreeSurfer file stores f32 while the
+# in-memory icosphere is f64 — hashing the pre-roundtrip array misses
+coords = read_freesurfer_geometry(os.path.join(
+    {root!r}, "surfaces", "fsaverage7", "lh.inflated")).coordinates
 first = sorted(glob(os.path.join(
     {root!r}, "betas", "surface", "left", "sub-01", "betas_train_*", "*.gii")))[0]
 nan_locations = np.isnan(read_gifti(first).darrays[0].data)
@@ -147,7 +152,12 @@ def main():
         "--mesh-dir", os.path.join(root, "surfaces"),
         "--out-dir", sl_out, "--overwrite",
     ]
-    env = dict(os.environ, MMD_DATA_DIR=root, PYTHONPATH=REPO)
+    # APPEND the repo to PYTHONPATH — overwriting it clobbers the TPU
+    # plugin's sitecustomize dir (/root/.axon_site on this box) and the
+    # backend never registers
+    pp = os.environ.get("PYTHONPATH", "")
+    env = dict(os.environ, MMD_DATA_DIR=root,
+               PYTHONPATH=REPO + (os.pathsep + pp if pp else ""))
     log("[run] launching production CLI (one TPU process):\n  " + " ".join(cli))
     t0 = time.time()
     proc = subprocess.run(cli, env=env, capture_output=True, text=True)

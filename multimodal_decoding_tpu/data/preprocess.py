@@ -41,19 +41,39 @@ def nan_column_locations(train_betas: np.ndarray) -> np.ndarray:
 
 
 def standardize_fmri_betas(train_betas, test_betas, imagery_betas=None, return_nan_locations=False):
-    """Drop NaN columns (first-row judged) then train-fit scale (data.py:518-537)."""
+    """Drop NaN columns (first-row judged) then train-fit scale (data.py:518-537).
+
+    Mirrors sklearn's StandardScaler on float32 input exactly: statistics
+    accumulate in float64 (``dtype=np.float64`` reductions — no float64
+    COPY of the data) while the transform runs in-place on the float32
+    arrays with the statistics rounded to f32, which is precisely what
+    ``X -= self.mean_`` does inside sklearn.  The previous whole-array
+    float64 upcast tripled peak host memory at fsaverage7 scale (the
+    [8192, 163839] train block alone is 5.4 GB f32 / 10.7 GB f64) for
+    LESS sklearn fidelity.
+    """
     train_betas = np.asarray(train_betas)
     nan_locations = nan_column_locations(train_betas)
     keep = ~nan_locations
 
-    train = train_betas[:, keep].astype(np.float64)
-    test = np.asarray(test_betas)[:, keep].astype(np.float64)
-    mean, scale = _fit_scaler(train)
+    train = np.ascontiguousarray(train_betas[:, keep], dtype=np.float32)
+    mean64 = train.mean(axis=0, dtype=np.float64)
+    std64 = np.sqrt(np.var(train, axis=0, dtype=np.float64))
+    scale64 = np.where(std64 == 0.0, 1.0, std64)
+    mean32 = mean64.astype(np.float32)
+    scale32 = scale64.astype(np.float32)
 
-    outs = [((train - mean) / scale).astype(np.float32), ((test - mean) / scale).astype(np.float32)]
+    def transform(x):
+        x = np.ascontiguousarray(np.asarray(x)[:, keep], dtype=np.float32)
+        x -= mean32
+        x /= scale32
+        return x
+
+    train -= mean32
+    train /= scale32
+    outs = [train, transform(test_betas)]
     if imagery_betas is not None:
-        imag = np.asarray(imagery_betas)[:, keep].astype(np.float64)
-        outs.append(((imag - mean) / scale).astype(np.float32))
+        outs.append(transform(imagery_betas))
 
     if return_nan_locations:
         return (*outs, nan_locations)

@@ -78,6 +78,23 @@ def default_cv_dtype():
     return None
 
 
+def default_null_gather() -> str:
+    """The shipped null-score permuted-diagonal formulation per platform.
+
+    The one-hot einsum modes are bit-exact reformulations of the gather
+    (integer rank counts selected through 0/1 rows — asserted on device by
+    benchmarks/profile_null_variants.py and end-to-end in
+    tests/test_searchlight.py); which one is FASTER is a per-platform
+    measurement.  The parity/ladder scripts read THIS function so they
+    always validate what ships.
+    """
+    import jax
+
+    # measured round 4 (profile_null_variants.py, N=8192 B=128 P=1000):
+    # gather 972 ms/block vs onehot variants — see docs/PERF_NOTES.md
+    return "gather" if jax.devices()[0].platform == "tpu" else "gather"
+
+
 def searchlight_mode_str(radius=None, n_neighbors=None) -> str:
     """Mode string in results paths (parity: searchlight.py:299-305)."""
     if radius is not None:

@@ -103,6 +103,7 @@ def run_searchlight(
     cv_solver: str | None = None,
     cv_scorer: str = "xla",
     cv_dtype=None,
+    null_gather: str | None = None,
     progress: bool = True,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 64,
@@ -153,6 +154,12 @@ def run_searchlight(
         shuffles_d = jax.device_put(jnp.asarray(shuffles, dtype=jnp.int32), rep)
         n_perms = len(shuffles)
         rng = jax.random.PRNGKey(null_seed)
+        if null_gather is None:
+            from multimodal_decoding_tpu.decoding.searchlight import (
+                default_null_gather,
+            )
+
+            null_gather = default_null_gather()
 
     results: list[dict] = []
     null_results: list[dict] = []
@@ -214,7 +221,7 @@ def run_searchlight(
                 jnp.asarray(alphas_cv, dtype=jnp.float32), shuffles_d, der,
                 layout=layout, n_train=n_train, n_test=n_test, precision=precision,
                 cv_precision=cv_precision, cv_solver=cv_solver, cv_scorer=cv_scorer,
-                cv_dtype=cv_dtype,
+                cv_dtype=cv_dtype, null_gather=null_gather,
             )
             results.append(main)
             null_results.append(null)
@@ -232,6 +239,7 @@ def run_searchlight(
                 X_all_d, Y_train_d, Y_test_d, Y_imag_d, idx_b, mask_b, alpha,
                 shuffles_d, der,
                 layout=layout, n_train=n_train, n_test=n_test, precision=precision,
+                null_gather=null_gather,
             )
             results.append(main)
             null_results.append(null)
