@@ -90,9 +90,14 @@ def default_null_gather() -> str:
     """
     import jax
 
-    # measured round 4 (profile_null_variants.py, N=8192 B=128 P=1000):
-    # gather 972 ms/block vs onehot variants — see docs/PERF_NOTES.md
-    return "gather" if jax.devices()[0].platform == "tpu" else "gather"
+    # measured round 4 on device (profile_null_variants.py, N=8192 B=128
+    # P=1000): gather 972.1 ms/block (131.7 v/s) vs onehot 787.8 (162.5 v/s)
+    # vs onehot-bf16 789.1 — exactness gate max|delta|=0 for both one-hot
+    # modes.  onehot ships on TPU (252 s projected v5e-8, under the 300 s
+    # bound); the gather stays the portable default elsewhere (CPU one-hot
+    # einsums lose to native gathers).  See docs/PERF_NOTES.md round-4
+    # CV+null ladder.
+    return "onehot" if jax.devices()[0].platform == "tpu" else "gather"
 
 
 def searchlight_mode_str(radius=None, n_neighbors=None) -> str:
