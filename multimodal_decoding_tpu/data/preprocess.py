@@ -43,14 +43,19 @@ def nan_column_locations(train_betas: np.ndarray) -> np.ndarray:
 def standardize_fmri_betas(train_betas, test_betas, imagery_betas=None, return_nan_locations=False):
     """Drop NaN columns (first-row judged) then train-fit scale (data.py:518-537).
 
-    Mirrors sklearn's StandardScaler on float32 input exactly: statistics
+    Mirrors sklearn's StandardScaler on float32 input: statistics
     accumulate in float64 (``dtype=np.float64`` reductions — no float64
-    COPY of the data) while the transform runs in-place on the float32
-    arrays with the statistics rounded to f32, which is precisely what
-    ``X -= self.mean_`` does inside sklearn.  The previous whole-array
-    float64 upcast tripled peak host memory at fsaverage7 scale (the
+    COPY of the data; bit-identical to the scaler's f64 ``mean_``/
+    ``scale_``, verified) while the transform runs in-place on the
+    float32 arrays with the statistics rounded to f32 — exactly what
+    modern sklearn does (1.9: ``X -= xp.astype(self.mean_, X.dtype)``;
+    element-wise equality verified against StandardScaler in
+    tests/test_preprocess.py).  Older sklearn applied the f64 operands
+    directly, which differs by at most 1 ulp per element — well inside
+    the 1e-4 parity gate either way.  The previous whole-array float64
+    upcast tripled peak host memory at fsaverage7 scale (the
     [8192, 163839] train block alone is 5.4 GB f32 / 10.7 GB f64) for
-    LESS sklearn fidelity.
+    LESS fidelity to the installed sklearn.
     """
     train_betas = np.asarray(train_betas)
     nan_locations = nan_column_locations(train_betas)

@@ -446,12 +446,21 @@ def _gather_perm_diag(C: jnp.ndarray, perm: jnp.ndarray,
       exact: rank counts are integers <= m-1 < 256, all exactly
       representable in bf16's 8-bit mantissa, and the one-hot rows select a
       single term so no rounding can occur.  Halves the einsum operand
-      traffic.
+      traffic.  Exactness requires m <= 256 (counts reach m-1; bf16 is
+      integer-exact to 256); larger test layouts fall back to "onehot",
+      which is exact at any size.
 
     Which mode wins is measured on device (benchmarks/profile_null_variants
     .py); exactness of the one-hot modes is asserted bitwise there too.
     """
+    if mode not in ("gather", "onehot", "onehot-bf16"):
+        raise ValueError(f"unknown null-gather mode {mode!r} "
+                         "(expected 'gather', 'onehot', or 'onehot-bf16')")
     if perm.ndim == 2 and mode != "gather":
+        if mode == "onehot-bf16" and C.shape[-1] > 256:
+            # bf16 represents integers exactly only up to 256; rank counts
+            # reach m-1, so m > 256 would silently lose bit-exactness
+            mode = "onehot"
         dt = jnp.bfloat16 if mode == "onehot-bf16" else jnp.float32
         eye = jnp.eye(C.shape[-1], dtype=dt)
         E = eye[perm]  # [P, n, m] one-hot rows

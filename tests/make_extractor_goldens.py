@@ -303,7 +303,10 @@ def dump_imagebind_state_manifest(out_path: str) -> str | None:
     import torch
 
     sd = torch.load(ckpt, map_location="cpu", weights_only=True)
-    if not isinstance(sd, dict) or "state_dict" in sd:
+    if not isinstance(sd, dict):
+        raise TypeError(f"unexpected checkpoint payload type {type(sd)!r} "
+                        "(expected a state-dict or a wrapper dict)")
+    if "state_dict" in sd:
         sd = sd["state_dict"]
     man = {k: list(v.shape) for k, v in sd.items()}
     with open(out_path, "w") as f:

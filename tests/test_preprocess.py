@@ -33,6 +33,21 @@ def test_standardize_betas_drops_nan_columns(rng):
     np.testing.assert_allclose(ote, scaler.transform(test[:, keep]), atol=1e-5)
 
 
+def test_standardize_betas_bitwise_matches_installed_sklearn(rng):
+    """The docstring's element-wise-equality claim: f64-accumulated stats
+    rounded to f32 before the in-place transform == sklearn >=1.3's
+    ``X -= xp.astype(self.mean_, X.dtype)`` path, bit for bit — on data
+    with large offsets where the rounding actually bites."""
+    train = (rng.randn(64, 33) * 11.0 + 137.0).astype(np.float32)
+    test = (rng.randn(9, 33) * 11.0 + 137.0).astype(np.float32)
+
+    otr, ote = P.standardize_fmri_betas(train.copy(), test.copy())
+    scaler = StandardScaler().fit(train)
+    np.testing.assert_array_equal(scaler.mean_, train.mean(axis=0, dtype=np.float64))
+    np.testing.assert_array_equal(otr, scaler.transform(train.copy()))
+    np.testing.assert_array_equal(ote, scaler.transform(test.copy()))
+
+
 def test_apply_mask(rng):
     betas = rng.randn(4, 10).astype(np.float32)
     mask = {"left": np.array([1, 0, 1, 0, 0]), "right": np.array([0, 1, 1, 0, 0])}

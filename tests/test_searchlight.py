@@ -491,3 +491,29 @@ def test_null_gather_modes_bitwise_exact():
         for m in outs["gather"]:
             np.testing.assert_array_equal(outs[mode][m], outs["gather"][m],
                                           err_msg=f"{mode}/{m}")
+
+
+def test_null_gather_mode_validation_and_bf16_bound():
+    """ADVICE r4: unknown modes must raise (not silently take the one-hot
+    path), and onehot-bf16 with >256 test columns must fall back to the
+    exact f32 one-hot rather than silently losing bit-exactness."""
+    import jax.numpy as jnp
+    import pytest
+
+    from multimodal_decoding_tpu.decoding import searchlight_engine as E
+
+    rng = np.random.RandomState(3)
+    C = rng.randint(0, 100, (2, 12, 12)).astype(np.int32)
+    perm = np.stack([rng.permutation(12) for _ in range(4)]).astype(np.int32)
+    with pytest.raises(ValueError, match="null-gather mode"):
+        E._gather_perm_diag(jnp.asarray(C), jnp.asarray(perm), "one-hot")
+
+    # m = 300 > 256: counts reach 299, not bf16-exact -> must match gather
+    # exactly anyway (via the documented fallback to f32 one-hot)
+    m = 300
+    Cb = rng.randint(0, 2 * m, (1, 8, m)).astype(np.int32)
+    pb = np.stack([rng.permutation(m)[:8] % m for _ in range(3)]).astype(np.int32)
+    # perm indexes columns per row position; shape [P, n] with n == 8 rows
+    g = np.asarray(E._gather_perm_diag(jnp.asarray(Cb), jnp.asarray(pb), "gather"))
+    o = np.asarray(E._gather_perm_diag(jnp.asarray(Cb), jnp.asarray(pb), "onehot-bf16"))
+    np.testing.assert_array_equal(o, g.astype(np.float32))
