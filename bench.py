@@ -193,6 +193,55 @@ def main():
         )
         log(f"fast/strict speedup: {rate / rate_strict:.2f}x")
 
+    # --- shipped CV+null certification (VERDICT r4 #3) -------------------
+    # The 252 s-projected claim previously lived only in PERF_NOTES via
+    # profile_null_variants.py; here the driver contract itself times the
+    # SHIPPED null-enabled configuration — resolved through the same
+    # default_* functions the production CLI uses — so every BENCH_r*.json
+    # carries driver-captured CV+null evidence.
+    null_rate = None
+    if os.environ.get("BENCH_NULL", "1") != "0":
+        from multimodal_decoding_tpu.decoding.searchlight import (
+            default_cv_dtype,
+            default_cv_solver,
+            default_null_gather,
+        )
+        from multimodal_decoding_tpu.decoding.searchlight_engine import (
+            searchlight_block_cv_with_null,
+        )
+
+        P = 1000 if on_accel else 8  # reference: 100/subject x 10 subjects-ish
+        n_cap = n_test // 2
+        shuffles = jnp.asarray(np.stack([
+            np.concatenate([r.permutation(n_cap), n_cap + r.permutation(n_cap)])
+            for r in (np.random.RandomState(100 + p) for p in range(P))
+        ]).astype(np.int32))
+        ders = jnp.asarray(np.random.RandomState(0).randint(
+            0, 2, size=(block, P)).astype(np.int32))
+        ng, cs, cd = default_null_gather(), default_cv_solver(), default_cv_dtype()
+        log(f"[cv+null] shipped config: null_gather={ng}, cv_solver={cs}, "
+            f"cv_dtype={cd}, P={P}")
+
+        @jax.jit
+        def run_block_null(xa, ytr, yte, yim, start, acc):
+            main, null = searchlight_block_cv_with_null(
+                xa, ytr, yte, yim, block_idx(start).astype(jnp.int32), None,
+                alphas, shuffles, ders, layout=layout, n_train=n_train,
+                n_test=n_test, n_splits=N_SPLITS,
+                cv_precision=jax.lax.Precision.DEFAULT, cv_solver=cs,
+                cv_dtype=cd, null_gather=ng,
+            )
+            return (acc + sum(s.sum() for s in main.values())
+                    + sum(s.sum() for s in null.values()))
+
+        null_budget = float(os.environ.get("BENCH_NULL_SECONDS",
+                                           max_seconds * 0.8))
+        null_rate = timed_run(run_block_null, null_budget, "cv+null")
+        null_subject_s = 2 * 163842 / null_rate
+        log(f"[cv+null] projected full-subject (2 hemis, P={P}): "
+            f"{null_subject_s:.0f}s single chip -> {null_subject_s / 8:.0f}s "
+            f"on v5e-8 (BASELINE CV+null bound <300s)")
+
     cpu_rate_1core = cpu_reference_rate(cpu_n, k, d)
     cpu_rate_ref = cpu_rate_1core * 15  # reference --n-jobs 15 (README.md:18-24)
     log(f"sklearn GridSearchCV reference: {cpu_rate_1core:.4f} vertices/s single-core "
@@ -203,14 +252,20 @@ def main():
         f"-> {full_subject_s / 8:.0f}s on v5e-8 (vertex sharding is collective-free); "
         f"BASELINE target <300s on v5e-8")
 
-    print(json.dumps({
+    out = {
         "metric": "searchlight_cv_vertices_per_sec",
         "value": round(float(rate), 2),
         "unit": (f"vertices/s (N={n_train}, K={k}, D={d}, 6 alphas x 5-fold CV; "
                  "selection bf16-storage/f32-accum + pallas-base schur inverse, "
                  "refit f32-highest; incl. scoring)"),
         "vs_baseline": round(float(rate / cpu_rate_ref), 2),
-    }))
+    }
+    if null_rate is not None:
+        out["cv_null_vertices_per_sec"] = round(float(null_rate), 2)
+        out["cv_null_projected_v5e8_s"] = round(2 * 163842 / null_rate / 8, 1)
+        out["cv_null_config"] = (f"shipped defaults: null_gather={ng}, "
+                                 f"cv_solver={cs}, P={P} permutations")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

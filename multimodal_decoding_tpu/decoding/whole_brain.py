@@ -108,6 +108,27 @@ class GramCache:
         self.gram_seconds = time.time() - t0
 
 
+def default_wb_cv_solver() -> str | None:
+    """The shipped whole-brain CV SELECTION solver for the current platform.
+
+    Round 3 left the fast schur-inverse selection OPT-IN after a schur-cb
+    tie flip on a PURE-NOISE probe.  Round 5 ran the planted-signal gate at
+    production shapes on device (benchmarks/check_wb_cv_parity.py: 16
+    decode problems, n=8192/f=16384/D=1024, SNR swept strong -> near-noise):
+    BOTH fast solvers agreed with the strict HIGHEST cho_solve oracle on
+    every argmax (16/16, max CV-score gap 8.3e-5, zero flips) — on real
+    decode problems the tie flip does not occur, so the fast selection
+    ships on TPU (docs/PERF_NOTES.md "Round 5: whole-brain CV gate").  The
+    refit never leaves strict HIGHEST cholesky either way (ridge_cv_dual),
+    so final metrics are untouched; elsewhere the strict oracle stays the
+    default (no measured win off-TPU).  The gate reads ridge_cv_dual's
+    cv_solver directly, so re-running it validates exactly what ships.
+    """
+    import jax
+
+    return "schur-pallas" if jax.devices()[0].platform == "tpu" else None
+
+
 def decode_single(
     train_betas: np.ndarray,
     test_betas: np.ndarray,
@@ -118,16 +139,22 @@ def decode_single(
     alphas=DEFAULT_ALPHAS,
     n_splits: int = NUM_CV_SPLITS,
     gram_cache: "GramCache | None" = None,
+    cv_solver: str | None = "default",
 ):
     """One decoder fit: CV alpha sweep + refit + test/imagery predictions.
 
     The compute core of ridge_regression_decoding.py:111-135, device-native.
     Returns (best_alpha, test_preds, imagery_preds, cv_mean_scores, timing).
+    ``cv_solver``: "default" resolves per platform (default_wb_cv_solver);
+    None forces the strict oracle; any explicit solver is passed through.
     """
     t0 = time.time()
     cache = gram_cache or GramCache(train_betas, test_betas, imagery_betas)
+    if cv_solver == "default":
+        cv_solver = default_wb_cv_solver()
     best_idx, mean_scores, dual = ridge_cv_dual(
-        cache.K, np.asarray(train_latents, np.float32), list(alphas), n_splits=n_splits
+        cache.K, np.asarray(train_latents, np.float32), list(alphas),
+        n_splits=n_splits, cv_solver=cv_solver,
     )
     fit_s = time.time() - t0
 

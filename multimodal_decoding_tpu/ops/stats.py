@@ -134,7 +134,18 @@ def group_permutations(n_within: int, n_subjects: int, n_group: int) -> np.ndarr
     deterministic lexicographic enumeration, not random sampling.
     """
     it = itertools.permutations(range(n_within), n_subjects)
-    return np.array([next(it) for _ in range(n_group)], dtype=np.int32)
+    out = list(itertools.islice(it, n_group))
+    if len(out) < n_group:
+        # the reference dies with a bare StopIteration here
+        # (permutation_testing.py:504-506); same bound, clearer error
+        raise ValueError(
+            f"n_permutations_group_level={n_group} exceeds the "
+            f"{len(out)} distinct group permutations available with "
+            f"{n_within} within-subject permutations over {n_subjects} "
+            "subject(s); raise n_permutations_per_subject or lower the "
+            "group count"
+        )
+    return np.array(out, dtype=np.int32)
 
 
 def p_values_from_null_max(observed: np.ndarray, null_max_sorted: np.ndarray) -> np.ndarray:

@@ -124,6 +124,37 @@ def replicated_from_host(arr: np.ndarray, mesh: Mesh) -> jax.Array:
     return jax.device_put(arr, rep)
 
 
+def shard_rows_from_host(arr: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Host array (same value on every host) -> row-sharded global array.
+
+    For per-block index/derangement tensors the searchlight runner shards
+    over the ``"v"`` axis: every host already holds the full array (it is
+    derived from the adjacency / a shared PRNG stream), so each process
+    just places its OWN rows — ``make_array_from_callback`` hands every
+    addressable shard its global index, zero cross-host traffic.
+    Single-process this degenerates to a sharded device_put.
+    """
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, P(VERTEX_AXIS))
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+    return jax.device_put(arr, sharding)
+
+
+def host_numpy(x, mesh: Mesh | None = None) -> np.ndarray:
+    """Device array -> host numpy, legal under multi-process execution.
+
+    ``np.asarray`` on a global array whose shards live on other hosts
+    raises; replicating through a jitted identity first (one all-gather
+    over ICI/DCN) makes every shard addressable everywhere.  Single-process
+    arrays convert directly.
+    """
+    if isinstance(x, np.ndarray) or jax.process_count() == 1:
+        return np.asarray(x)
+    rep = NamedSharding(mesh if mesh is not None else x.sharding.mesh, P())
+    return np.asarray(jax.jit(lambda a: a, out_shardings=rep)(x))
+
+
 def replicate_host_filled(fills, mesh: Mesh) -> jax.Array:
     """Union of disjointly-filled per-host tensors via one on-device reduce.
 

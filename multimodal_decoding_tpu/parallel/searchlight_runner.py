@@ -32,6 +32,11 @@ from multimodal_decoding_tpu.parallel.mesh import (
     shard_vertices,
     vertex_mesh,
 )
+from multimodal_decoding_tpu.parallel.multihost import (
+    host_numpy,
+    replicated_from_host,
+    shard_rows_from_host,
+)
 
 
 def _auto_block_size(n_rows: int, k: int, n_devices: int, budget_bytes: int = 2 << 30) -> int:
@@ -66,18 +71,20 @@ def _flush_cadence(block_size: int, n_perms: int | None,
     return max(1, min(8, budget_bytes // max(per_block, 1)))
 
 
-def _materialize_pending(lists: list[list], n_hosted: int) -> int:
+def _materialize_pending(lists: list[list], n_hosted: int, mesh=None) -> int:
     """Convert every not-yet-hosted block dict in each list to host numpy.
 
     ``lists`` are parallel per-block result lists (main, null); entries at
     index >= n_hosted are device dicts.  Returns the new hosted count.
     Materialising ALL pending blocks (not just the newest) is what bounds
-    live device memory.
+    live device memory.  Under multi-process execution the conversion
+    replicates each sharded block first (host_numpy — a collective), so
+    every process MUST reach these calls in the same order.
     """
     n = max((len(lst) for lst in lists), default=0)
     for lst in lists:
         for i in range(min(n_hosted, len(lst)), len(lst)):
-            lst[i] = {k: np.asarray(v) for k, v in lst[i].items()}
+            lst[i] = {k: host_numpy(v, mesh) for k, v in lst[i].items()}
     return n
 
 
@@ -136,13 +143,17 @@ def run_searchlight(
     if adjacency_mask is not None:
         mask_padded, _ = pad_to_multiple(np.asarray(adjacency_mask), block_size)
 
-    # device placement: X/Y replicated, per-block index shards over "v"
+    # device placement: X/Y replicated, per-block index shards over "v".
+    # replicated_from_host handles multi-process meshes (every host holds the
+    # full standardized betas after ingestion; see multihost.py for the
+    # per-host-shard ingestion that feeds this).
     rep = replicated(mesh)
     shard = shard_vertices(mesh)
-    X_all_d = jax.device_put(jnp.asarray(X_all), rep)
-    Y_train_d = jax.device_put(jnp.asarray(Y_train, dtype=np.float32), rep)
-    Y_test_d = jax.device_put(jnp.asarray(Y_test, dtype=np.float32), rep)
-    Y_imag_d = jax.device_put(jnp.asarray(Y_imag, dtype=np.float32), rep)
+    multi = jax.process_count() > 1
+    X_all_d = replicated_from_host(X_all, mesh)
+    Y_train_d = replicated_from_host(np.asarray(Y_train, np.float32), mesh)
+    Y_test_d = replicated_from_host(np.asarray(Y_test, np.float32), mesh)
+    Y_imag_d = replicated_from_host(np.asarray(Y_imag, np.float32), mesh)
 
     use_null = shuffles is not None
     use_cv = alphas_cv is not None
@@ -151,7 +162,7 @@ def run_searchlight(
     # extension so the BASELINE "alpha CV" config can emit null
     # distributions (searchlight_block_cv_with_null).
     if use_null:
-        shuffles_d = jax.device_put(jnp.asarray(shuffles, dtype=jnp.int32), rep)
+        shuffles_d = replicated_from_host(np.asarray(shuffles, np.int32), mesh)
         n_perms = len(shuffles)
         rng = jax.random.PRNGKey(null_seed)
         if null_gather is None:
@@ -186,11 +197,16 @@ def run_searchlight(
         nonlocal n_hosted
         if checkpoint_path is None:
             return
-        os.makedirs(os.path.dirname(checkpoint_path) or ".", exist_ok=True)
         # entries below n_hosted are already host numpy — convert only the
         # device-resident tail so checkpointing stays O(new blocks), not
-        # O(total blocks)
-        n_hosted = _materialize_pending([results, null_results], n_hosted)
+        # O(total blocks).  Under multi-process this is a collective, so
+        # EVERY process materialises; only process 0 publishes the file
+        # (checkpoint_path must live on a filesystem all hosts can read
+        # for resume — same contract as the permutation cache publish).
+        n_hosted = _materialize_pending([results, null_results], n_hosted, mesh)
+        if jax.process_index() != 0:
+            return
+        os.makedirs(os.path.dirname(checkpoint_path) or ".", exist_ok=True)
         tmp = checkpoint_path + ".tmp.npz"
         np.savez(
             tmp.removesuffix(".npz"),
@@ -205,9 +221,9 @@ def run_searchlight(
         if b <= ckpt_done:
             continue
         sl = slice(b * block_size, (b + 1) * block_size)
-        idx_b = jax.device_put(jnp.asarray(idx_padded[sl]), shard)
+        idx_b = shard_rows_from_host(idx_padded[sl], mesh)
         mask_b = (
-            jax.device_put(jnp.asarray(mask_padded[sl]), shard) if mask_padded is not None else None
+            shard_rows_from_host(mask_padded[sl], mesh) if mask_padded is not None else None
         )
         if use_null:
             # one derangement stream shared by both null branches: the
@@ -215,6 +231,10 @@ def run_searchlight(
             der = jax.random.randint(
                 jax.random.fold_in(rng, b), (block_size, n_perms), 0, 2, dtype=jnp.int32
             )
+            if multi:
+                # the PRNG stream is deterministic, so every host computed the
+                # identical tensor locally; lift it to the global "v" sharding
+                der = shard_rows_from_host(np.asarray(der), mesh)
         if use_cv and use_null:
             main, null = searchlight_block_cv_with_null(
                 X_all_d, Y_train_d, Y_test_d, Y_imag_d, idx_b, mask_b,
@@ -250,16 +270,19 @@ def run_searchlight(
             )
             results.append(out)
         if (b + 1) % flush_every == 0:
-            n_hosted = _materialize_pending([results, null_results], n_hosted)
+            n_hosted = _materialize_pending([results, null_results], n_hosted, mesh)
         if checkpoint_every and (b + 1) % checkpoint_every == 0:
             _save_ckpt(b)
         if progress and (b % 10 == 0 or b == n_blocks - 1):
             print(f"searchlight block {b + 1}/{n_blocks}", flush=True)
 
-    # materialise + trim padding
+    # materialise + trim padding (host_numpy: multi-process-legal conversion)
     def collect(blocks):
         keys = blocks[0].keys()
-        return {m: np.concatenate([np.asarray(blk[m]) for blk in blocks])[:v_orig] for m in keys}
+        return {
+            m: np.concatenate([host_numpy(blk[m], mesh) for blk in blocks])[:v_orig]
+            for m in keys
+        }
 
     scores = collect(results)
     elapsed = time.time() - t0
@@ -273,6 +296,7 @@ def run_searchlight(
         aux["null_scores"] = collect(null_results)
     if use_cv:
         aux["best_alpha"] = scores.pop("best_alpha")
-    if checkpoint_path is not None and os.path.isfile(checkpoint_path):
+    if (checkpoint_path is not None and jax.process_index() == 0
+            and os.path.isfile(checkpoint_path)):
         os.remove(checkpoint_path)
     return scores, aux

@@ -92,6 +92,69 @@ def mp_fixture(tmp_path_factory):
     _load_feature_pickle.cache_clear()
 
 
+def test_two_process_fs5_searchlight_parity(tmp_path):
+    """fs5-scale CV+null+kill/resume under REAL 2-process jax.distributed.
+
+    Unifies the suite's two strands of distributed evidence (VERDICT r4 #6):
+    the fs5 scenario of test_scale_integration (10,242 vertices, uneven
+    shards, checkpoint rotation) previously ran only single-process; the
+    real 2-process harness previously ran only at 42-vertex toy scale.
+    Here two gloo-joined processes (4 virtual devices each) run the
+    production runner at fs5 scale with an injected mid-run death + resume,
+    and the result must match the in-process single-device run exactly
+    (same solver/precision -> allclose at float tolerance).
+    """
+    import jax
+
+    from tests.fs5_problem import P_SHUFFLES, make_fs5_problem, run_fs5
+
+    spec = {
+        "checkpoint_path": str(tmp_path / "fs5.ckpt.npz"),
+        "result_path": str(tmp_path / "fs5_result.npz"),
+    }
+    spec_path = str(tmp_path / "fs5_spec.json")
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    worker = os.path.join(os.path.dirname(__file__), "mp_fs5_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(port), spec_path],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"fs5 worker {pid} failed:\n{out[-4000:]}"
+        assert f"WORKER_OK {pid}" in out
+
+    # single-device in-process reference (same solver/precision settings)
+    problem = make_fs5_problem()
+    scores_1, aux_1 = run_fs5(problem, jax.devices()[:1])
+
+    mp_res = np.load(spec["result_path"])
+    for m, ref in scores_1.items():
+        np.testing.assert_allclose(mp_res[f"score_{m}"], ref, rtol=2e-5,
+                                   atol=2e-6, err_msg=m)
+    np.testing.assert_array_equal(mp_res["best_alpha"], aux_1["best_alpha"])
+    for m, ref in aux_1["null_scores"].items():
+        assert ref.shape == (10242, P_SHUFFLES)
+        np.testing.assert_allclose(mp_res[f"null_{m}"], ref, rtol=2e-5,
+                                   atol=2e-6, err_msg=m)
+
+
 def test_two_process_null_pipeline_parity(mp_fixture):
     tmp, sl_out, ref = mp_fixture
     perm_out = str(tmp / "perm_mp")
