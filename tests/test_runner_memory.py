@@ -67,9 +67,9 @@ def test_null_mode_materializes_all_pending(rng, monkeypatch):
     events = []
     real = SR._materialize_pending
 
-    def spy(lists, n_hosted):
+    def spy(lists, n_hosted, mesh=None):
         pending = max(len(lst) for lst in lists) - n_hosted
-        out = real(lists, n_hosted)
+        out = real(lists, n_hosted, mesh)
         # after the real flush, nothing device-resident remains in any list
         for lst in lists:
             for d in lst:
