@@ -96,3 +96,40 @@ def test_make_roi_mask_cli(tmp_path, monkeypatch, rng):
         mask = pickle.load(f)
     assert set(mask) == {"left", "right"}
     assert mask["left"].shape == (30,)
+
+
+def test_run_study_cli(dataset, tmp_path, monkeypatch):
+    """One-command study orchestration: 2 subjects x 3 modes of null
+    searchlights -> group permutation stats -> TFCE p-maps."""
+    from multimodal_decoding_tpu.cli.run_study import main
+
+    # group t-maps need a second subject (df >= 1)
+    make_synthetic_dataset(
+        str(tmp_path), subject="sub-02", n_train=40,
+        n_vertices=42, latent_dim=6, beta_seed=7,
+    )
+    sl_out = str(tmp_path / "study_sl")
+    perm_out = str(tmp_path / "study_perm")
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--betas-dir", os.path.join(dataset["betas_dir"], "surface"),
+        "--subjects", "sub-01", "sub-02", "--model", dataset["model"],
+        "--hemis", "left", "--mesh-dir", dataset["mesh_dir"],
+        "--n-neighbors", "5", "--block-size", "8",
+        "--n-permutations-per-subject", "4",
+        "--n-permutations-group-level", "12",  # == P(4,2): full enumeration
+        "--p-value-threshold", "0.2",
+        "--searchlight-out-dir", sl_out, "--permutation-out-dir", perm_out,
+    ])
+    main()
+    # all three training modes' searchlight artifacts exist
+    modes = {d for d in os.listdir(sl_out) if not d.startswith(".")}
+    assert modes == {"agnostic", "captions", "images"}
+    # permutation stage published p-values
+    found = []
+    for root, _, files in os.walk(perm_out):
+        found += [os.path.join(root, f) for f in files
+                  if f.startswith("p_values") and f.endswith(".p")]
+    assert len(found) == 1
+    with open(found[0], "rb") as f:
+        p_vals = pickle.load(f)
+    assert p_vals["left"].shape == (42,)
