@@ -72,6 +72,11 @@ def get_args():
                         help="cache dir for the kNN/radius adjacency build "
                              "(~680s single-core at fsaverage7); 'auto' = "
                              "<out-dir>/.adjacency_cache, 'none' disables")
+    parser.add_argument("--stream-ingest", type=str, default="auto",
+                        choices=["auto", "on", "off"],
+                        help="stream betas cache -> device in O(chunk) host "
+                             "RAM (parallel/ingest.py); auto = on for >2 GB "
+                             "cached single-process runs")
     parser.add_argument("--strict-cv", action="store_true", default=False,
                         help="run CV alpha selection at f32-HIGHEST cholesky "
                              "instead of the fast path (~3.5x slower; the fast "
@@ -106,6 +111,7 @@ def main():
         overwrite=args.overwrite,
         fast_math=args.fast_math,
         fast_cv=not args.strict_cv,
+        stream_ingest=args.stream_ingest,
         adjacency_cache_dir=(
             None if args.adjacency_cache_dir == "none"
             else os.path.join(args.out_dir, ".adjacency_cache")

@@ -115,6 +115,12 @@ def _cache_path(kind, betas_dir, subject, split, mode, hemi):
     return os.path.join(config.BETAS_CACHE_DIR, f"{kind}_{subject}_{split}_{mode}_{hemi}_{key}.npz")
 
 
+def surface_cache_path(betas_dir, subject, split, mode=MODALITY_AGNOSTIC, hemi="left") -> str:
+    """Public path of the surface-betas npz cache (streaming ingestion reads
+    it directly via parallel/ingest.NpzMemberReader)."""
+    return _cache_path("surf", betas_dir, subject, split, mode, hemi)
+
+
 def get_fmri_surface_data(betas_dir, subject, split, mode=MODALITY_AGNOSTIC, hemi="left",
                           use_cache=True):
     """Load per-hemisphere surface betas [n_stim, V] (parity: data.py:448-458)."""

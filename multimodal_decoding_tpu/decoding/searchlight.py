@@ -164,6 +164,13 @@ class SearchlightConfig:
     # at fsaverage7; identical across models/training modes of a subject) —
     # None disables.  Defaults under out_dir at run time.
     adjacency_cache_dir: str | None = None
+    # streaming ingestion (parallel/ingest.py): "on"/"off"/"auto" (None ->
+    # env MMD_STREAM_INGEST, default "auto" = stream when the npz betas
+    # cache exists, the run is single-process, and the train cache is
+    # > 2 GB — the regime where the eager path's ~3x fresh-page footprint
+    # costs real RAM/wall-clock).  Result is element-wise equal to the
+    # eager path (tests/test_ingest.py).
+    stream_ingest: bool | str | None = None
 
 
 def build_adjacency(coords, nan_locations=None, radius=None, n_neighbors=None,
@@ -223,6 +230,71 @@ def build_adjacency(coords, nan_locations=None, radius=None, n_neighbors=None,
     raise RuntimeError("Need to set either radius or n_neighbors arg!")
 
 
+def _stream_ingest_readers(cfg: SearchlightConfig, subject, training_mode, hemi):
+    """Resolve the streaming-ingestion decision for one (subject, mode, hemi).
+
+    Returns [train, test, imagery] ``NpzMemberReader`` over the betas npz
+    caches, or None for the eager path.  "on" raises loudly when the
+    prerequisites are missing; "auto" falls back silently (the eager run
+    builds the cache, so the NEXT run streams).  See parallel/ingest.py
+    for why this exists.
+    """
+    mode = cfg.stream_ingest
+    if mode is None:
+        mode = os.environ.get("MMD_STREAM_INGEST", "auto")
+    if isinstance(mode, str):
+        m = mode.lower()
+        if m in ("1", "on", "true"):
+            mode = True
+        elif m in ("0", "off", "false"):
+            mode = False
+        elif m == "auto":
+            mode = "auto"
+        else:
+            raise ValueError(f"stream_ingest: {mode!r} (use on/off/auto)")
+    if mode is False:
+        return None
+
+    import jax
+
+    from multimodal_decoding_tpu.data.betas import surface_cache_path
+    from multimodal_decoding_tpu.parallel.ingest import NpzMemberReader
+
+    paths = [
+        surface_cache_path(cfg.betas_dir, subject, SPLIT_TRAIN, training_mode, hemi),
+        surface_cache_path(cfg.betas_dir, subject, SPLIT_TEST, hemi=hemi),
+        surface_cache_path(cfg.betas_dir, subject, SPLIT_IMAGERY, hemi=hemi),
+    ]
+    missing = [p for p in paths if not os.path.isfile(p)]
+    multi = jax.process_count() > 1
+    if mode is True:
+        if multi:
+            raise ValueError(
+                "stream_ingest=on is single-process only; multi-process runs "
+                "use the per-host-shard ingestion (parallel/multihost.py)"
+            )
+        if missing:
+            raise FileNotFoundError(
+                f"stream_ingest=on but the betas npz cache is missing: "
+                f"{missing[0]} (run once with the eager loader to build it)"
+            )
+    elif multi or missing or os.path.getsize(paths[0]) <= (2 << 30):
+        return None
+    try:
+        readers = [NpzMemberReader(p) for p in paths]
+    except ValueError:
+        if mode is True:
+            raise
+        return None
+    if any(r.dtype != np.float32 for r in readers):
+        if mode is True:
+            raise ValueError("streaming ingestion requires float32 betas caches")
+        return None
+    print("Streaming ingestion: standardize + upload in O(chunk) host RAM "
+          "(parallel/ingest.py)")
+    return readers
+
+
 def run(cfg: SearchlightConfig) -> list:
     """subject x training_mode x hemi loop (parity: searchlight.py:181-296)."""
     shuffles = None
@@ -252,19 +324,24 @@ def run(cfg: SearchlightConfig) -> list:
                     print(f"Skipping searchlight: results at {results_path}")
                     continue
 
-                train_fmri, _, _ = get_fmri_surface_data(
-                    cfg.betas_dir, subject, SPLIT_TRAIN, training_mode, hemi
-                )
-                test_fmri, _, _ = get_fmri_surface_data(
-                    cfg.betas_dir, subject, SPLIT_TEST, hemi=hemi
-                )
-                imagery_fmri, _, _ = get_fmri_surface_data(
-                    cfg.betas_dir, subject, SPLIT_IMAGERY, hemi=hemi
-                )
-                nan_locations = np.isnan(train_fmri[0])
-                train_fmri, test_fmri, imagery_fmri = standardize_fmri_betas(
-                    train_fmri, test_fmri, imagery_fmri
-                )
+                stream_readers = _stream_ingest_readers(cfg, subject, training_mode, hemi)
+                if stream_readers is not None:
+                    train_fmri = test_fmri = imagery_fmri = None
+                    nan_locations = np.isnan(stream_readers[0].read_row(0))
+                else:
+                    train_fmri, _, _ = get_fmri_surface_data(
+                        cfg.betas_dir, subject, SPLIT_TRAIN, training_mode, hemi
+                    )
+                    test_fmri, _, _ = get_fmri_surface_data(
+                        cfg.betas_dir, subject, SPLIT_TEST, hemi=hemi
+                    )
+                    imagery_fmri, _, _ = get_fmri_surface_data(
+                        cfg.betas_dir, subject, SPLIT_IMAGERY, hemi=hemi
+                    )
+                    nan_locations = np.isnan(train_fmri[0])
+                    train_fmri, test_fmri, imagery_fmri = standardize_fmri_betas(
+                        train_fmri, test_fmri, imagery_fmri
+                    )
 
                 print(
                     f"\nTRAIN MODE: {training_mode} | SUBJECT: {subject} | "
@@ -287,6 +364,25 @@ def run(cfg: SearchlightConfig) -> list:
                 import jax as _jax
                 import numpy as _np
 
+                x_dtype = _np.dtype("bfloat16") if cfg.fast_math else _np.float32
+                mesh = None
+                x_all_device = None
+                n_rows_split = None
+                if stream_readers is not None:
+                    from multimodal_decoding_tpu.parallel.ingest import (
+                        streamed_scaler_fit,
+                        streamed_x_all_device,
+                    )
+                    from multimodal_decoding_tpu.parallel.mesh import vertex_mesh
+
+                    keep = ~nan_locations
+                    mean32, scale32 = streamed_scaler_fit(stream_readers[0], keep)
+                    mesh = vertex_mesh()
+                    x_all_device = streamed_x_all_device(
+                        stream_readers, keep, mean32, scale32, mesh, dtype=x_dtype
+                    )
+                    n_rows_split = tuple(r.n_rows for r in stream_readers)
+
                 t0 = time.time()
                 score_maps, aux = run_searchlight(
                     train_fmri, test_fmri, imagery_fmri,
@@ -299,7 +395,10 @@ def run(cfg: SearchlightConfig) -> list:
                     shuffles=shuffles,
                     block_size=cfg.block_size,
                     progress=cfg.progress,
-                    dtype=_np.dtype("bfloat16") if cfg.fast_math else _np.float32,
+                    mesh=mesh,
+                    x_all_device=x_all_device,
+                    n_rows_split=n_rows_split,
+                    dtype=x_dtype,
                     precision=_jax.lax.Precision.DEFAULT if cfg.fast_math
                     else _jax.lax.Precision.HIGHEST,
                     cv_precision=(_jax.lax.Precision.DEFAULT

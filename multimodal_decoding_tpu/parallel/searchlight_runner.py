@@ -114,6 +114,8 @@ def run_searchlight(
     progress: bool = True,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 64,
+    x_all_device=None,
+    n_rows_split: tuple | None = None,
 ):
     """Run the full searchlight on device.
 
@@ -125,14 +127,29 @@ def run_searchlight(
     the standardized betas (NaN columns already dropped), adjacency is the
     [V, K] neighbour-index matrix, ``shuffles`` the pre-generated null
     permutations (data.py:540-561).
+
+    ``x_all_device`` + ``n_rows_split=(n_train, n_test, n_imag)``: the
+    caller already placed the replicated standardized [n_rows, V'] matrix
+    on the mesh (parallel/ingest.py streaming path); X_train/X_test/X_imag
+    may then be None and no host concatenation happens.
     """
     mesh = mesh or vertex_mesh()
     n_dev = len(mesh.devices.flatten())
     layout = TestLayout.from_stim_types(stim_types_test)
 
-    n_train, n_test, n_imag = len(X_train), len(X_test), len(X_imag)
-    X_all = np.concatenate([X_train, X_test, X_imag]).astype(dtype)
-    n_rows = X_all.shape[0]
+    if x_all_device is not None:
+        if n_rows_split is None:
+            raise ValueError("x_all_device requires n_rows_split=(n_train, n_test, n_imag)")
+        n_train, n_test, n_imag = n_rows_split
+        n_rows = n_train + n_test + n_imag
+        if x_all_device.shape[0] != n_rows:
+            raise ValueError(
+                f"x_all_device has {x_all_device.shape[0]} rows, n_rows_split sums to {n_rows}"
+            )
+    else:
+        n_train, n_test, n_imag = len(X_train), len(X_test), len(X_imag)
+        X_all = np.concatenate([X_train, X_test, X_imag]).astype(dtype)
+        n_rows = X_all.shape[0]
     v_total, k = adjacency.shape
 
     if block_size is None:
@@ -150,7 +167,7 @@ def run_searchlight(
     rep = replicated(mesh)
     shard = shard_vertices(mesh)
     multi = jax.process_count() > 1
-    X_all_d = replicated_from_host(X_all, mesh)
+    X_all_d = x_all_device if x_all_device is not None else replicated_from_host(X_all, mesh)
     Y_train_d = replicated_from_host(np.asarray(Y_train, np.float32), mesh)
     Y_test_d = replicated_from_host(np.asarray(Y_test, np.float32), mesh)
     Y_imag_d = replicated_from_host(np.asarray(Y_imag, np.float32), mesh)
