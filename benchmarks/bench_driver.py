@@ -152,6 +152,12 @@ def main():
         "--mesh-dir", os.path.join(root, "surfaces"),
         "--out-dir", sl_out, "--overwrite",
     ]
+    if not args.small:
+        # loud streaming ingestion (parallel/ingest.py): the eager path's
+        # ~16 GB of fresh host pages costs ~50 min on this box's ~5 MB/s
+        # first-touch backing (PERF_NOTES round-4 entry); 'on' fails fast
+        # instead of silently falling back to eager if the cache is absent
+        cli += ["--stream-ingest", "on"]
     # APPEND the repo to PYTHONPATH — overwriting it clobbers the TPU
     # plugin's sitecustomize dir (/root/.axon_site on this box) and the
     # backend never registers
@@ -188,6 +194,7 @@ def main():
             "n_train": N_TRAIN, "k": K, "d": D, "block_size": BLOCK,
             "alphas": len(ALPHAS), "cv": True, "nulls": False,
             "entry_point": "cli.run_searchlight", "processes": 1,
+            "stream_ingest": not args.small,
         },
         "driver_wall_s": round(wall, 1),
         "searchlight_stage_s": round(sl_s, 1) if sl_s else None,
