@@ -24,6 +24,7 @@ import argparse
 import json
 import os
 import re
+import socket
 import subprocess
 import sys
 import time
@@ -36,6 +37,32 @@ BENCH_PROJECTION_VPS = 166.3  # BENCH_r03.json cv-fast headline
 
 def log(*a):
     print(*a, flush=True)
+
+
+def relay_listening(ports=(8083, 8082)) -> bool:
+    """True iff the box's axon relay is accepting connections (stateless
+    :8083 / claim :8082).  A TCP connect is claim-free: it cannot wedge the
+    chip the way a killed claim poll can."""
+    for port in ports:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return True
+        except OSError:
+            pass
+    return False
+
+
+def wait_for_relay(max_wait_s: float, poll_s: float = 15.0) -> bool:
+    t0 = time.time()
+    while True:
+        if relay_listening():
+            return True
+        waited = time.time() - t0
+        if waited >= max_wait_s:
+            return False
+        if int(waited) % 300 < poll_s:
+            log(f"[relay] down for {waited:.0f}s; polling :8083/:8082 ...")
+        time.sleep(poll_s)
 
 
 def run_cpu_snippet(code: str, env=None):
@@ -110,6 +137,14 @@ def main():
                     help="tiny smoke of the full orchestration (CPU scale)")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "BENCH_DRIVER.json"))
+    ap.add_argument("--attempts", type=int, default=1,
+                    help="retry the CLI run this many times on failure "
+                         "(chip-claim flakes; each failed claim poll costs "
+                         "~35 min, so attempts are gated on --wait-relay)")
+    ap.add_argument("--wait-relay", type=float, default=0.0,
+                    help="seconds to wait for the axon relay ports before "
+                         "each attempt (0 = launch immediately; this round's "
+                         "host-side relay outage is the motivating case)")
     args = ap.parse_args()
     global N_TRAIN, K, D, BLOCK, ICO
     if args.small:
@@ -165,13 +200,25 @@ def main():
     env = dict(os.environ, MMD_DATA_DIR=root,
                PYTHONPATH=REPO + (os.pathsep + pp if pp else ""))
     log("[run] launching production CLI (one TPU process):\n  " + " ".join(cli))
-    t0 = time.time()
-    proc = subprocess.run(cli, env=env, capture_output=True, text=True)
-    wall = time.time() - t0
-    sys.stdout.write(proc.stdout[-4000:])
-    sys.stderr.write(proc.stderr[-4000:])
-    if proc.returncode != 0:
-        raise SystemExit(f"driver run failed ({proc.returncode})")
+    for attempt in range(1, max(1, args.attempts) + 1):
+        if not args.small and args.wait_relay > 0:
+            if not wait_for_relay(args.wait_relay):
+                raise SystemExit(
+                    f"axon relay stayed down for {args.wait_relay:.0f}s "
+                    "(ports 8083/8082 closed) — not launching a claim poll "
+                    "against a dead relay"
+                )
+        t0 = time.time()
+        proc = subprocess.run(cli, env=env, capture_output=True, text=True)
+        wall = time.time() - t0
+        sys.stdout.write(proc.stdout[-4000:])
+        sys.stderr.write(proc.stderr[-4000:])
+        if proc.returncode == 0:
+            break
+        log(f"[run] attempt {attempt}/{args.attempts} failed "
+            f"(rc={proc.returncode}) after {wall:.0f}s")
+        if attempt >= max(1, args.attempts):
+            raise SystemExit(f"driver run failed ({proc.returncode})")
 
     # driver-printed searchlight stage + runlog-recorded v/s
     m = re.search(r"Searchlight time: (\d+)s \((\d+) vertices/s\)", proc.stdout)
