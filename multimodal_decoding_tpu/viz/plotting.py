@@ -71,7 +71,6 @@ def plot_surf_stat_map(
 
     matplotlib.use("Agg", force=False)
     import matplotlib.pyplot as plt
-    from matplotlib import cm
     from mpl_toolkits.mplot3d.art3d import Poly3DCollection
 
     stat_map = np.asarray(stat_map, dtype=np.float64)
@@ -89,7 +88,7 @@ def plot_surf_stat_map(
     if vmin is None:
         vmin = -vmax if cmap == "cold_hot" else np.nanmin(face_vals)
 
-    cmap_obj = cm.get_cmap("coolwarm" if cmap == "cold_hot" else cmap)
+    cmap_obj = plt.get_cmap("coolwarm" if cmap == "cold_hot" else cmap)
     normed = (face_vals - vmin) / max(vmax - vmin, 1e-12)
     colors = cmap_obj(np.clip(normed, 0, 1))
 
@@ -128,7 +127,7 @@ def plot_surf_stat_map(
     if title:
         ax.set_title(title)
     if colorbar:
-        sm = cm.ScalarMappable(cmap=cmap_obj)
+        sm = matplotlib.cm.ScalarMappable(cmap=cmap_obj)
         sm.set_clim(vmin, vmax)
         fig.colorbar(sm, ax=ax, shrink=0.6)
     return fig
