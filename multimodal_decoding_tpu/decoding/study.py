@@ -11,6 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 
 from multimodal_decoding_tpu.config import (
+    DEFAULT_ALPHAS,
     DEFAULT_MODEL,
     DEFAULT_RESOLUTION,
     METRIC_MOD_AGNOSTIC_AND_CROSS,
@@ -35,7 +36,9 @@ class StudyConfig:
     training_modes: list = field(default_factory=lambda: list(TRAINING_MODES))
     hemis: list = field(default_factory=lambda: ["left", "right"])
     resolution: str = DEFAULT_RESOLUTION
-    l2_regularization_alpha: float = 1.0
+    # fixed ridge alpha, or the string "cv" for per-vertex alpha-CV over
+    # config.DEFAULT_ALPHAS (the BASELINE configuration)
+    l2_regularization_alpha: float | str = 1.0
     n_neighbors: int | None = 750
     radius: float | None = None
     n_permutations_per_subject: int = 100
@@ -55,6 +58,10 @@ class StudyConfig:
 def run_study(cfg: StudyConfig) -> dict:
     """Searchlight all training modes (with nulls) then permutation testing."""
     coords = {h: m.coordinates for h, m in cfg.meshes.items()}
+    # "cv" is the permutation stage's artifact path key; the searchlight
+    # stage realises it as per-vertex alpha-CV over DEFAULT_ALPHAS
+    # (SearchlightConfig.alphas_cv), which writes under that same key
+    cv = cfg.l2_regularization_alpha == "cv"
     base_sl = SearchlightConfig(
         betas_dir=cfg.betas_dir,
         mesh_coords=coords,
@@ -63,7 +70,8 @@ def run_study(cfg: StudyConfig) -> dict:
         subjects=cfg.subjects,
         hemis=cfg.hemis,
         resolution=cfg.resolution,
-        l2_regularization_alpha=cfg.l2_regularization_alpha,
+        l2_regularization_alpha=1.0 if cv else cfg.l2_regularization_alpha,
+        alphas_cv=list(DEFAULT_ALPHAS) if cv else None,
         n_neighbors=cfg.n_neighbors,
         radius=cfg.radius,
         create_null_distr=True,

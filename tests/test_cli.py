@@ -133,3 +133,44 @@ def test_run_study_cli(dataset, tmp_path, monkeypatch):
     with open(found[0], "rb") as f:
         p_vals = pickle.load(f)
     assert p_vals["left"].shape == (42,)
+
+
+def test_run_study_cli_alpha_cv(dataset, tmp_path, monkeypatch):
+    """--l2-regularization-alpha cv realises per-vertex alpha-CV in the
+    searchlight stage (SearchlightConfig.alphas_cv over DEFAULT_ALPHAS) and
+    the permutation stage finds the artifacts under the alpha_cv key."""
+    from multimodal_decoding_tpu.cli.run_study import main
+
+    make_synthetic_dataset(
+        str(tmp_path), subject="sub-02", n_train=40,
+        n_vertices=42, latent_dim=6, beta_seed=7,
+    )
+    sl_out = str(tmp_path / "study_sl_cv")
+    perm_out = str(tmp_path / "study_perm_cv")
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--betas-dir", os.path.join(dataset["betas_dir"], "surface"),
+        "--subjects", "sub-01", "sub-02", "--model", dataset["model"],
+        "--hemis", "left", "--mesh-dir", dataset["mesh_dir"],
+        "--n-neighbors", "5", "--block-size", "8",
+        "--l2-regularization-alpha", "cv",
+        "--n-permutations-per-subject", "3",
+        "--n-permutations-group-level", "6",  # <= P(3,2) = 6
+        "--p-value-threshold", "0.2",
+        "--searchlight-out-dir", sl_out, "--permutation-out-dir", perm_out,
+    ])
+    main()
+    # the searchlight artifacts live under the alpha_cv path key
+    cv_artifacts = []
+    for root, _, files in os.walk(sl_out):
+        cv_artifacts += [os.path.join(root, f) for f in files
+                         if f == "alpha_cv.p"]
+    assert len(cv_artifacts) == 6  # 3 training modes x 2 subjects
+    with open(cv_artifacts[0], "rb") as f:
+        res = pickle.load(f)
+    # per-vertex CV ran: selected alphas recorded, drawn from DEFAULT_ALPHAS
+    assert set(np.unique(res["best_alpha"])) <= set(config.DEFAULT_ALPHAS)
+    found = []
+    for root, _, files in os.walk(perm_out):
+        found += [os.path.join(root, f) for f in files
+                  if f.startswith("p_values") and f.endswith(".p")]
+    assert len(found) == 1
