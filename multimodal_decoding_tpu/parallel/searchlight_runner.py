@@ -28,8 +28,6 @@ from multimodal_decoding_tpu.decoding.searchlight_engine import (
 )
 from multimodal_decoding_tpu.parallel.mesh import (
     pad_to_multiple,
-    replicated,
-    shard_vertices,
     vertex_mesh,
 )
 from multimodal_decoding_tpu.parallel.multihost import (
@@ -164,8 +162,6 @@ def run_searchlight(
     # replicated_from_host handles multi-process meshes (every host holds the
     # full standardized betas after ingestion; see multihost.py for the
     # per-host-shard ingestion that feeds this).
-    rep = replicated(mesh)
-    shard = shard_vertices(mesh)
     multi = jax.process_count() > 1
     X_all_d = x_all_device if x_all_device is not None else replicated_from_host(X_all, mesh)
     Y_train_d = replicated_from_host(np.asarray(Y_train, np.float32), mesh)
