@@ -32,7 +32,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_TRAIN, K, D, BLOCK, ICO = 8192, 750, 1024, 128, 7
 ALPHAS = ["100", "1000", "10000", "100000", "1000000", "10000000"]
-BENCH_PROJECTION_VPS = 166.3  # BENCH_r03.json cv-fast headline
+BENCH_PROJECTION_VPS = 166.3       # BENCH_r03.json cv-fast headline
+BENCH_PROJECTION_NULL_VPS = 162.82  # BENCH_r05 capture, shipped CV+null P=1000
 
 
 def log(*a):
@@ -135,8 +136,14 @@ def main():
     ap.add_argument("--skip-prep", action="store_true", default=False)
     ap.add_argument("--small", action="store_true", default=False,
                     help="tiny smoke of the full orchestration (CPU scale)")
-    ap.add_argument("--out", type=str,
-                    default=os.path.join(REPO, "BENCH_DRIVER.json"))
+    ap.add_argument("--null", action="store_true", default=False,
+                    help="ALSO emit null distributions at the reference's "
+                         "config (--create-null-distr, 100 permutations per "
+                         "subject: searchlight_permutation_testing.py's "
+                         "per-subject null input) — the shipped one-hot "
+                         "null-gather path under the production CLI")
+    ap.add_argument("--out", type=str, default=None,
+                    help="default BENCH_DRIVER.json / BENCH_DRIVER_NULL.json")
     ap.add_argument("--attempts", type=int, default=1,
                     help="retry the CLI run this many times on failure "
                          "(chip-claim flakes; each failed claim poll costs "
@@ -149,8 +156,12 @@ def main():
     global N_TRAIN, K, D, BLOCK, ICO
     if args.small:
         N_TRAIN, K, D, BLOCK, ICO = 64, 8, 16, 32, 2
+    if args.out is None:
+        args.out = os.path.join(
+            REPO, "BENCH_DRIVER_NULL.json" if args.null else "BENCH_DRIVER.json")
     root = args.root
-    sl_out = os.path.join(root, "searchlight_out")
+    sl_out = os.path.join(root, "searchlight_out_null" if args.null
+                          else "searchlight_out")
     stages = {}
 
     if not args.skip_prep:
@@ -187,6 +198,13 @@ def main():
         "--mesh-dir", os.path.join(root, "surfaces"),
         "--out-dir", sl_out, "--overwrite",
     ]
+    if args.null:
+        # reference null config: 100 permutations/subject feeding the group
+        # stage (searchlight.py:61-79, permutation_testing input contract);
+        # reuse the base run's warmed adjacency cache
+        cli += ["--create-null-distr", "--n-permutations-per-subject", "100",
+                "--adjacency-cache-dir",
+                os.path.join(root, "searchlight_out", ".adjacency_cache")]
     if not args.small:
         # loud streaming ingestion (parallel/ingest.py): the eager path's
         # ~16 GB of fresh host pages costs ~50 min on this box's ~5 MB/s
@@ -233,21 +251,27 @@ def main():
         sl_s = ev.get("elapsed_s", sl_s)
 
     result = {
-        "metric": "driver_searchlight_vertices_per_sec",
+        "metric": ("driver_searchlight_cv_null_vertices_per_sec" if args.null
+                   else "driver_searchlight_vertices_per_sec"),
         "value": round(vps, 1) if vps else None,
         "unit": "vertices/s",
         "config": {
-            "resolution": "fsaverage7", "n_vertices": 163842, "hemis": 1,
+            "resolution": "fsaverage7" if ICO == 7 else f"icosphere{ICO}",
+            "n_vertices": 10 * 4 ** ICO + 2, "hemis": 1,
             "n_train": N_TRAIN, "k": K, "d": D, "block_size": BLOCK,
-            "alphas": len(ALPHAS), "cv": True, "nulls": False,
+            "alphas": len(ALPHAS), "cv": True,
+            "nulls": 100 if args.null else False,
             "entry_point": "cli.run_searchlight", "processes": 1,
             "stream_ingest": not args.small,
         },
         "driver_wall_s": round(wall, 1),
         "searchlight_stage_s": round(sl_s, 1) if sl_s else None,
         "overhead_s": round(wall - sl_s, 1) if sl_s else None,
-        "bench_projection_vps": BENCH_PROJECTION_VPS,
-        "ratio_vs_projection": round(vps / BENCH_PROJECTION_VPS, 3) if vps else None,
+        "bench_projection_vps": (BENCH_PROJECTION_NULL_VPS if args.null
+                                 else BENCH_PROJECTION_VPS),
+        "ratio_vs_projection": (
+            round(vps / (BENCH_PROJECTION_NULL_VPS if args.null
+                         else BENCH_PROJECTION_VPS), 3) if vps else None),
         "stages": stages,
         "note": (
             "one-process production-CLI run over real on-disk GIfTI betas at "
