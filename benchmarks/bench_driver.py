@@ -104,6 +104,24 @@ np.save(os.path.join({root!r}, "coords.npy"), mesh.coordinates)
     run_cpu_snippet(code)
 
 
+def warm_betas_cache(root: str):
+    """Eager-load each split once on CPU so the betas npz cache exists —
+    the prerequisite of the timed run's ``--stream-ingest on`` (the CLI
+    fails fast rather than fall back to the eager loader)."""
+    code = f"""
+import time
+from multimodal_decoding_tpu.config import (
+    MODALITY_AGNOSTIC, SPLIT_IMAGERY, SPLIT_TEST, SPLIT_TRAIN)
+from multimodal_decoding_tpu.data.betas import get_fmri_surface_data
+bd = {os.path.join(root, "betas", "surface")!r}
+t0 = time.time()
+for split in (SPLIT_TRAIN, SPLIT_TEST, SPLIT_IMAGERY):
+    get_fmri_surface_data(bd, "sub-01", split, MODALITY_AGNOSTIC, "left")
+print(f"betas npz cache warmed in {{time.time() - t0:.0f}}s", flush=True)
+"""
+    run_cpu_snippet(code, env={"MMD_DATA_DIR": root})
+
+
 def warm_adjacency(root: str, out_dir: str):
     code = f"""
 import time, os
@@ -162,6 +180,9 @@ def main():
     root = args.root
     sl_out = os.path.join(root, "searchlight_out_null" if args.null
                           else "searchlight_out")
+    # ONE adjacency cache shared by the base and --null variants (the build
+    # depends only on the mesh + NaN mask, not on the null config)
+    adj_cache = os.path.join(root, "searchlight_out", ".adjacency_cache")
     stages = {}
 
     if not args.skip_prep:
@@ -169,8 +190,13 @@ def main():
         prep_dataset(root)
         stages["prep_dataset_s"] = round(time.time() - t0, 1)
         log(f"[prep] dataset done in {stages['prep_dataset_s']}s")
+        if not args.small:
+            t0 = time.time()
+            warm_betas_cache(root)
+            stages["prep_betas_cache_s"] = round(time.time() - t0, 1)
+            log(f"[prep] betas cache warmed in {stages['prep_betas_cache_s']}s")
         t0 = time.time()
-        warm_adjacency(root, sl_out)
+        warm_adjacency(root, os.path.join(root, "searchlight_out"))
         stages["prep_adjacency_s"] = round(time.time() - t0, 1)
         log(f"[prep] adjacency cache warmed in {stages['prep_adjacency_s']}s")
 
@@ -197,14 +223,12 @@ def main():
         "--block-size", str(BLOCK),
         "--mesh-dir", os.path.join(root, "surfaces"),
         "--out-dir", sl_out, "--overwrite",
+        "--adjacency-cache-dir", adj_cache,
     ]
     if args.null:
         # reference null config: 100 permutations/subject feeding the group
-        # stage (searchlight.py:61-79, permutation_testing input contract);
-        # reuse the base run's warmed adjacency cache
-        cli += ["--create-null-distr", "--n-permutations-per-subject", "100",
-                "--adjacency-cache-dir",
-                os.path.join(root, "searchlight_out", ".adjacency_cache")]
+        # stage (searchlight.py:61-79, permutation_testing input contract)
+        cli += ["--create-null-distr", "--n-permutations-per-subject", "100"]
     if not args.small:
         # loud streaming ingestion (parallel/ingest.py): the eager path's
         # ~16 GB of fresh host pages costs ~50 min on this box's ~5 MB/s

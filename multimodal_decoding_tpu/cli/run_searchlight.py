@@ -72,11 +72,12 @@ def get_args():
                         help="cache dir for the kNN/radius adjacency build "
                              "(~680s single-core at fsaverage7); 'auto' = "
                              "<out-dir>/.adjacency_cache, 'none' disables")
-    parser.add_argument("--stream-ingest", type=str, default="auto",
+    parser.add_argument("--stream-ingest", type=str, default=None,
                         choices=["auto", "on", "off"],
                         help="stream betas cache -> device in O(chunk) host "
                              "RAM (parallel/ingest.py); auto = on for >2 GB "
-                             "cached single-process runs")
+                             "cached single-process runs; unset = env "
+                             "MMD_STREAM_INGEST, default auto")
     parser.add_argument("--strict-cv", action="store_true", default=False,
                         help="run CV alpha selection at f32-HIGHEST cholesky "
                              "instead of the fast path (~3.5x slower; the fast "

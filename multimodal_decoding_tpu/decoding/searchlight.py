@@ -409,6 +409,9 @@ def run(cfg: SearchlightConfig) -> list:
                     cv_dtype=(default_cv_dtype()
                               if cfg.fast_cv and cfg.alphas_cv is not None else None),
                     checkpoint_path=results_path + ".ckpt.npz",
+                    # --overwrite redoes the work from scratch; a stale
+                    # mid-run checkpoint must not silently resume under it
+                    resume=not cfg.overwrite,
                 )
                 print(f"Searchlight time: {int(time.time() - t0)}s "
                       f"({aux['vertices_per_sec']:.0f} vertices/s)")

@@ -8,6 +8,7 @@ one config with the same idempotent skip/resume behaviour at every stage.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field, replace
 
 from multimodal_decoding_tpu.config import (
@@ -15,6 +16,7 @@ from multimodal_decoding_tpu.config import (
     DEFAULT_MODEL,
     DEFAULT_RESOLUTION,
     METRIC_MOD_AGNOSTIC_AND_CROSS,
+    SEARCHLIGHT_OUT_DIR,
     SELECT_DEFAULT,
     SUBJECTS,
     TRAINING_MODES,
@@ -53,6 +55,11 @@ class StudyConfig:
     block_size: int | None = None
     fast_math: bool = False
     progress: bool = True
+    # adjacency build cache, shared across every (subject, mode, hemi) run
+    # of the study — the ~680 s fsaverage7 kNN build is identical for all
+    # of them.  "auto" = <searchlight_out_dir>/.adjacency_cache (the CLI
+    # default); None disables.
+    adjacency_cache_dir: str | None = "auto"
 
 
 def run_study(cfg: StudyConfig) -> dict:
@@ -62,6 +69,10 @@ def run_study(cfg: StudyConfig) -> dict:
     # stage realises it as per-vertex alpha-CV over DEFAULT_ALPHAS
     # (SearchlightConfig.alphas_cv), which writes under that same key
     cv = cfg.l2_regularization_alpha == "cv"
+    adj_cache = cfg.adjacency_cache_dir
+    if adj_cache == "auto":
+        adj_cache = os.path.join(
+            cfg.searchlight_out_dir or SEARCHLIGHT_OUT_DIR, ".adjacency_cache")
     base_sl = SearchlightConfig(
         betas_dir=cfg.betas_dir,
         mesh_coords=coords,
@@ -80,6 +91,7 @@ def run_study(cfg: StudyConfig) -> dict:
         out_dir=cfg.searchlight_out_dir,
         fast_math=cfg.fast_math,
         progress=cfg.progress,
+        adjacency_cache_dir=adj_cache,
     )
     searchlight_outputs = []
     for mode in cfg.training_modes:

@@ -112,6 +112,7 @@ def run_searchlight(
     progress: bool = True,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 64,
+    resume: bool = True,
     x_all_device=None,
     n_rows_split: tuple | None = None,
 ):
@@ -199,12 +200,20 @@ def run_searchlight(
     # (the reference loses everything, SURVEY.md §5 failure-detection row).
     ckpt_done = -1
     if checkpoint_path is not None and os.path.isfile(checkpoint_path):
-        ck = np.load(checkpoint_path, allow_pickle=True)
-        ckpt_done = int(ck["done_blocks"])
-        results = list(ck["results"])
-        null_results = list(ck["null_results"])
-        n_hosted = len(results)  # checkpointed blocks are already host numpy
-        print(f"resuming searchlight from block {ckpt_done + 1}/{n_blocks}")
+        if not resume:
+            # overwrite semantics: start from scratch — silently resuming a
+            # stale mid-run checkpoint would also inflate the reported
+            # vertices_per_sec (every process sees the same ``resume`` flag,
+            # so no cross-process filesystem race on the decision)
+            if jax.process_index() == 0:
+                os.remove(checkpoint_path)
+        else:
+            ck = np.load(checkpoint_path, allow_pickle=True)
+            ckpt_done = int(ck["done_blocks"])
+            results = list(ck["results"])
+            null_results = list(ck["null_results"])
+            n_hosted = len(results)  # checkpointed blocks are already host numpy
+            print(f"resuming searchlight from block {ckpt_done + 1}/{n_blocks}")
 
     def _save_ckpt(done):
         nonlocal n_hosted
@@ -299,12 +308,17 @@ def run_searchlight(
 
     scores = collect(results)
     elapsed = time.time() - t0
+    # rate over the vertices THIS call computed: a resumed run must not
+    # claim the checkpointed blocks' work in its vertices_per_sec
+    done_before = min((ckpt_done + 1) * block_size, v_orig)
     aux = {
         "elapsed_s": elapsed,
-        "vertices_per_sec": v_orig / elapsed,
+        "vertices_per_sec": (v_orig - done_before) / elapsed,
         "block_size": block_size,
         "n_blocks": n_blocks,
     }
+    if ckpt_done >= 0:
+        aux["resumed_at_block"] = ckpt_done + 1
     if use_null:
         aux["null_scores"] = collect(null_results)
     if use_cv:

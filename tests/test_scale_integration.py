@@ -91,6 +91,7 @@ def test_fs5_cv_null_mesh_parity_and_resume(fs5_problem, tmp_path):
 
     scores_8, aux_8 = _run(fs5_problem, jax.devices()[:8], checkpoint_path=ckpt)
     assert not os.path.isfile(ckpt)  # consumed on completion
+    assert aux_8["resumed_at_block"] >= 1  # really resumed, and reported it
 
     # --- parity: scores, alphas, null distributions -----------------------
     for m in scores_1:

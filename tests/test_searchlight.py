@@ -517,3 +517,44 @@ def test_null_gather_mode_validation_and_bf16_bound():
     g = np.asarray(E._gather_perm_diag(jnp.asarray(Cb), jnp.asarray(pb), "gather"))
     o = np.asarray(E._gather_perm_diag(jnp.asarray(Cb), jnp.asarray(pb), "onehot-bf16"))
     np.testing.assert_array_equal(o, g.astype(np.float32))
+
+
+def test_overwrite_discards_stale_checkpoint(rng, tmp_path):
+    """resume=False (the driver's --overwrite semantics) starts from scratch:
+    a stale checkpoint with poisoned block results is deleted, never resumed;
+    resume=True resumes it, reports resumed_at_block, and rates only the new
+    work in vertices_per_sec."""
+    Xtr, Xte, Xim, Ytr, Yte, Yim, stim_types, adj = make_problem(rng, v=32)
+    kwargs = dict(alpha=2.0, block_size=8, progress=False,
+                  mesh=vertex_mesh(jax.devices()[:1]))
+    fresh, aux_fresh = run_searchlight(
+        Xtr, Xte, Xim, Ytr, Yte, Yim, adj, stim_types, **kwargs)
+    assert "resumed_at_block" not in aux_fresh
+
+    def fabricate_ckpt(path):
+        # claims blocks 0-1 (16 vertices) done, with poisoned scores
+        poisoned = [{m: np.full(8, 99.0, np.float32) for m in fresh}
+                    for _ in range(2)]
+        np.savez(path.removesuffix(".npz"), done_blocks=1,
+                 results=np.array(poisoned, dtype=object),
+                 null_results=np.array([], dtype=object))
+
+    ckpt = str(tmp_path / "sl.ckpt.npz")
+    fabricate_ckpt(ckpt)
+    over, aux_over = run_searchlight(
+        Xtr, Xte, Xim, Ytr, Yte, Yim, adj, stim_types,
+        checkpoint_path=ckpt, resume=False, **kwargs)
+    assert "resumed_at_block" not in aux_over
+    for m in fresh:  # the poisoned blocks must NOT leak into the result
+        np.testing.assert_allclose(over[m], fresh[m], atol=1e-6, err_msg=m)
+
+    fabricate_ckpt(ckpt)
+    res, aux_res = run_searchlight(
+        Xtr, Xte, Xim, Ytr, Yte, Yim, adj, stim_types,
+        checkpoint_path=ckpt, resume=True, **kwargs)
+    assert aux_res["resumed_at_block"] == 2
+    key = next(iter(fresh))
+    np.testing.assert_array_equal(res[key][:16], np.full(16, 99.0, np.float32))
+    np.testing.assert_allclose(res[key][16:], fresh[key][16:], atol=1e-6)
+    # rate covers only the 16 vertices this call computed
+    assert np.isclose(aux_res["vertices_per_sec"] * aux_res["elapsed_s"], 16.0)
